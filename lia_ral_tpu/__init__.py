@@ -1,0 +1,30 @@
+"""lia_ral_tpu — a TPU-native speaker-recognition framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+ALIZE-Speaker-Recognition/LIA_RAL (reference layout documented in SURVEY.md):
+
+- ``lia_ral_tpu.config``   — key/value config files + CLI overrides + schemas
+  (capability parity with ALIZE Config/ConfigChecker/CmdLine).
+- ``lia_ral_tpu.io``       — feature (.prm SPRO3/SPRO4/RAW), label (.lbl),
+  mixture (.gmm XML/RAW), matrix (.matx), list (NDX/XList) and NIST score IO.
+- ``lia_ral_tpu.frontend`` — MFCC, SDC, CMVN/warping, energy VAD.
+- ``lia_ral_tpu.gmm``      — diagonal-GMM model pytrees, fused LLK/posterior/
+  sufficient-stat kernels, UBM EM, MAP adaptation, trial scoring.
+- ``lia_ral_tpu.fa``       — Baum-Welch stats, TotalVariability (i-vector),
+  JFA eigenvoice/eigenchannel/D engines.
+- ``lia_ral_tpu.backend``  — i-vector backends: length-norm/EFR, LDA, WCCN,
+  two-cov, G-PLDA training + scoring, score normalization (zt-norm).
+- ``lia_ral_tpu.seg``      — segment tools, HMM/Viterbi, diarization,
+  clustering criteria.
+- ``lia_ral_tpu.parallel`` — device-mesh sharding of stat accumulation
+  (data-parallel psum), multi-host helpers.
+- ``lia_ral_tpu.api``      — high-level speaker-detection API + TCP server.
+- ``lia_ral_tpu.tools``    — CLI entry points mirroring the reference
+  binaries (TrainWorld, TrainTarget, ComputeTest, ...).
+
+The reference implementation is CPU C++ (pthread map-reduce over frames);
+this framework re-expresses every hot loop as batched matmul/XLA kernels on
+the MXU with frame-axis masking, and every thread-pool merge as a psum.
+"""
+
+__version__ = "0.1.0"

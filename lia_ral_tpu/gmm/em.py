@@ -1,0 +1,232 @@
+"""GMM-UBM EM training: init, M-step, variance control, bagged subsampling.
+
+TPU-native equivalent of reference ``LIA_SpkTools/src/TrainTools.cpp``
+(trainModel cpp:993-1028, trainModelStream cpp:1030-1110, mixtureInit
+cpp:619-674, varianceControl cpp:567-592, setItParameter cpp:560-564) and
+``GeneralTools.cpp`` baggedSegments (cpp:455-511).
+
+The reference's per-iteration shape — bagged frame subsample → threaded EM
+stat accumulation → closed-form M-step → variance floor/ceil schedule —
+is kept, but frames live in one padded (N,D) device array, the bagged
+subsample is a per-frame weight mask drawn with the JAX PRNG, and stat
+accumulation is the chunked matmul kernel (optionally sharded over a
+device mesh with psum — see lia_ral_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kernels import EmStats, em_stats_chunked
+from .model import GmmDiag
+
+
+@dataclasses.dataclass
+class TrainCfg:
+    """Reference TrainCfg (TrainTools.h:122-160), same config keys."""
+
+    nb_train_it: int = 20
+    init_variance_flooring: float = 1.0
+    init_variance_ceiling: float = 10.0
+    final_variance_flooring: float = 0.5
+    final_variance_ceiling: float = 5.0
+    bagged_frame_probability: float = 1.0
+    bagged_frame_probability_init: float = 0.0
+    bagged_minimal_length: int = 3
+    bagged_maximal_length: int = 7
+    normalize_model: bool = False
+    component_reduction: bool = False
+    target_distrib_count: int = 0
+
+    @classmethod
+    def from_config(cls, cfg) -> "TrainCfg":
+        return cls(
+            nb_train_it=cfg.get_int("nbTrainIt", 20),
+            init_variance_flooring=cfg.get_float("initVarianceFlooring", 1.0),
+            init_variance_ceiling=cfg.get_float("initVarianceCeiling", 10.0),
+            final_variance_flooring=cfg.get_float("finalVarianceFlooring", 0.5),
+            final_variance_ceiling=cfg.get_float("finalVarianceCeiling", 5.0),
+            bagged_frame_probability=cfg.get_float("baggedFrameProbability", 1.0),
+            bagged_frame_probability_init=cfg.get_float(
+                "baggedFrameProbabilityInit", 0.0),
+            bagged_minimal_length=cfg.get_int("baggedMinimalLength", 3),
+            bagged_maximal_length=cfg.get_int("baggedMaximalLength", 7),
+            normalize_model=cfg.get_bool("normalizeModel", False),
+            component_reduction=cfg.get_bool("componentReduction", False),
+            target_distrib_count=cfg.get_int("targetMixtureDistribCount", 0),
+        )
+
+
+def schedule_value(begin: float, end: float, nb_it: int, it: int) -> float:
+    """Linear parameter schedule — reference setItParameter
+    (TrainTools.cpp:560-564)."""
+    if nb_it < 2:
+        return begin
+    return begin - (begin - end) / (nb_it - 1) * it
+
+
+def global_mean_cov(x: jax.Array, w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Weighted global mean and variance of the frames — reference
+    computeMeanCov/globalMeanCov (TrainTools.cpp:593)."""
+    cnt = jnp.maximum(jnp.sum(w), 1e-30)
+    mean = jnp.sum(x * w[:, None], axis=0) / cnt
+    ex2 = jnp.sum(x * x * w[:, None], axis=0) / cnt
+    return mean, ex2 - mean * mean
+
+
+def m_step(stats: EmStats, min_occ: float = 1e-6) -> GmmDiag:
+    """Closed-form diagonal-GMM M-step (the reference delegates this to
+    ALIZE MixtureStat::getEM)."""
+    occ = jnp.maximum(stats.n, min_occ)[:, None]
+    means = stats.sum_x / occ
+    cov = stats.sum_xx / occ - means * means
+    cov = jnp.maximum(cov, 1e-8)
+    weights = stats.n / jnp.maximum(stats.count, 1e-30)
+    wsum = jnp.sum(weights)
+    # empty selection (all-zero frame weights) → keep a uniform mixture
+    weights = jnp.where(wsum > 0, weights / jnp.maximum(wsum, 1e-30),
+                        1.0 / stats.n.shape[0])
+    return GmmDiag(weights=weights, means=means, cov_inv=1.0 / cov)
+
+
+def variance_control(gmm: GmmDiag, flooring: float, ceiling: float,
+                     global_cov: jax.Array) -> GmmDiag:
+    """Floor/ceil each component variance relative to the global data
+    variance — reference varianceControl (TrainTools.cpp:567-592)."""
+    cov = 1.0 / gmm.cov_inv
+    cov = jnp.clip(cov, flooring * global_cov[None, :],
+                   ceiling * global_cov[None, :])
+    return gmm.replace(cov_inv=1.0 / cov)
+
+
+def normalize_mixture(gmm: GmmDiag, data_mean: jax.Array,
+                      data_cov: jax.Array, mean_only: bool = False) -> GmmDiag:
+    """Map the model into a 0-mean/1-var feature space — reference
+    normalizeMixture (TrainTools.cpp:287-336)."""
+    std = jnp.sqrt(data_cov)
+    means = (gmm.means - data_mean[None, :]) / std[None, :]
+    if mean_only:
+        return gmm.replace(means=means)
+    cov = (1.0 / gmm.cov_inv) / data_cov[None, :]
+    return gmm.replace(means=means, cov_inv=1.0 / cov)
+
+
+# -- bagged frame selection ---------------------------------------------------
+
+def bagged_frame_mask(
+    key: jax.Array,
+    base_mask: jax.Array,
+    probability: float,
+    min_len: int = 3,
+    max_len: int = 7,
+) -> jax.Array:
+    """Random frame subsample as a 0/1 weight mask.
+
+    Reference baggedSegments (GeneralTools.cpp:455-511) walks segments,
+    cuts them into chunks of random length in [min_len, max_len] and keeps
+    each chunk with probability p.  The TPU-native formulation: draw one
+    chunk length per position bucket and one Bernoulli per bucket, then
+    expand — equivalent selection statistics, fully vectorised, driven by
+    the JAX PRNG (counter-based, reproducible under sharding) instead of C
+    ``rand()``.
+    """
+    if probability >= 1.0:
+        return base_mask
+    n = base_mask.shape[0]
+    avg_len = 0.5 * (min_len + max_len)
+    n_chunks = max(int(np.ceil(n / min_len)), 1)
+    k_len, k_keep = jax.random.split(key)
+    lens = jax.random.randint(k_len, (n_chunks,), min_len, max_len + 1)
+    keep = jax.random.bernoulli(k_keep, probability, (n_chunks,))
+    # chunk id of every frame = searchsorted over cumulative lengths
+    bounds = jnp.cumsum(lens)
+    frame_idx = jnp.arange(n)
+    chunk_of = jnp.searchsorted(bounds, frame_idx, side="right")
+    chunk_of = jnp.minimum(chunk_of, n_chunks - 1)
+    sel = keep[chunk_of]
+    del avg_len
+    return base_mask * sel.astype(base_mask.dtype)
+
+
+# -- init ---------------------------------------------------------------------
+
+def mixture_init(
+    key: jax.Array,
+    x: jax.Array,
+    w: jax.Array,
+    n_components: int,
+    bagged_probability_init: float = 0.1,
+    min_len: int = 3,
+    max_len: int = 7,
+) -> GmmDiag:
+    """Init by random frame picking — reference mixtureInit
+    (TrainTools.cpp:619-674): component mean = mean of a random ~p/K frame
+    subset, covariance = global covariance, weights = 1/K."""
+    _, gcov = global_mean_cov(x, w)
+    p = max(bagged_probability_init / n_components, 1e-6)
+    keys = jax.random.split(key, n_components)
+
+    def comp_mean(k):
+        m = bagged_frame_mask(k, w, p, min_len, max_len)
+        cnt = jnp.sum(m)
+        mean = jnp.sum(x * m[:, None], axis=0) / jnp.maximum(cnt, 1.0)
+        # empty selection → fall back to global weighted mean
+        gmean = jnp.sum(x * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+        return jnp.where(cnt > 0, mean, gmean)
+
+    means = jax.vmap(comp_mean)(keys)
+    k = n_components
+    return GmmDiag(
+        weights=jnp.full((k,), 1.0 / k, x.dtype),
+        means=means.astype(x.dtype),
+        cov_inv=jnp.broadcast_to(1.0 / jnp.maximum(gcov, 1e-8),
+                                 (k, x.shape[1])).astype(x.dtype),
+    )
+
+
+# -- the training loop --------------------------------------------------------
+
+def train_model(
+    key: jax.Array,
+    x: jax.Array,
+    w: jax.Array,
+    init: GmmDiag,
+    cfg: TrainCfg,
+    stats_fn: Callable[[jax.Array, jax.Array, GmmDiag], EmStats] | None = None,
+    chunk: int = 4096,
+    verbose: bool = False,
+) -> GmmDiag:
+    """UBM EM loop — reference trainModel (TrainTools.cpp:993-1028).
+
+    ``stats_fn`` defaults to the single-device chunked kernel; pass the
+    mesh-sharded accumulator from lia_ral_tpu.parallel for multi-chip
+    training (same signature, stats merged with psum).
+    """
+    if stats_fn is None:
+        stats_fn = lambda xx, ww, g: em_stats_chunked(xx, ww, g, chunk=chunk)
+    _, gcov = global_mean_cov(x, w)
+    gmm = init
+    for it in range(cfg.nb_train_it):
+        floor = schedule_value(cfg.init_variance_flooring,
+                               cfg.final_variance_flooring,
+                               cfg.nb_train_it, it)
+        ceil = schedule_value(cfg.init_variance_ceiling,
+                              cfg.final_variance_ceiling,
+                              cfg.nb_train_it, it)
+        key, sub = jax.random.split(key)
+        mask = bagged_frame_mask(sub, w, cfg.bagged_frame_probability,
+                                 cfg.bagged_minimal_length,
+                                 cfg.bagged_maximal_length)
+        stats = stats_fn(x, mask, gmm)
+        if verbose:
+            print(f"it {it}: meanLLK={float(stats.mean_llk()):.5f} "
+                  f"frames={float(stats.count):.0f} floor={floor:.3f} "
+                  f"ceil={ceil:.3f}")
+        gmm = m_step(stats)
+        gmm = variance_control(gmm, floor, ceil, gcov)
+    return gmm
