@@ -142,5 +142,11 @@ def em_stats_chunked(x: jax.Array, w: jax.Array, gmm: GmmDiag,
         xb, wb = blk
         return acc.merge(em_stats(xb, wb, gmm)), None
 
-    acc, _ = jax.lax.scan(body, EmStats.zeros(k, d), (xc, wc))
+    # Derive the zero carry from the inputs so its type matches under
+    # shard_map (a plain zeros init is device-invariant while the scan
+    # output varies over the manual mesh axis).
+    varying_zero = jnp.sum(w[:1]) * 0.0
+    init = jax.tree.map(lambda z: z + varying_zero.astype(z.dtype),
+                        EmStats.zeros(k, d, x.dtype))
+    acc, _ = jax.lax.scan(body, init, (xc, wc))
     return acc
