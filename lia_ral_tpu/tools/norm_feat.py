@@ -1,0 +1,81 @@
+"""NormFeat: feature normalization CLI.
+
+Equivalent of reference ``LIA_SpkDet/NormFeat`` modes (NormFeat.cpp):
+``norm`` (cpp:231 — CMVN: file / segmental / window with global fallback),
+``featWarp`` (cpp:661), ``info`` (cpp:520 — write stats).  Normalised
+features are written with the save format/extension config keys.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..frontend.normfeat import (cmvn_global, cmvn_segmental, cmvn_window,
+                                 feature_warping)
+from ..io.features import write_feature_file
+from .common import load_features_and_mask, resolve_list, setup_verbose
+
+
+def _out_path(name: str, cfg: Config) -> str:
+    root = cfg.get_str("featureFilesPath", "./")
+    ext = cfg.get_str("saveFeatureFileExtension", ".norm.prm")
+    return os.path.join(root, name + ext)
+
+
+def main(cfg: Config) -> dict[str, np.ndarray]:
+    verbose = setup_verbose(cfg)
+    mode = cfg.get_str("mode", "norm")
+    names = resolve_list(cfg, "inputFeatureFilename"
+                         if cfg.exists("inputFeatureFilename")
+                         else "inputFeatureFileName")
+    seg_mode = cfg.get_str("segmentalMode", "file")
+    window = int(cfg.get_float("windowDuration", 3.0)
+                 / cfg.get_float("frameLength", 0.01))
+    cms_only = cfg.get_bool("cmsOnly", False)
+    var_only = cfg.get_bool("varOnly", False)
+    out: dict[str, np.ndarray] = {}
+    for name in names:
+        fs, mask = load_features_and_mask([name], cfg)
+        x = jnp.asarray(fs.data)
+        w = jnp.asarray(mask)
+        if mode == "norm":
+            if seg_mode == "window":
+                y = cmvn_window(x, w, window)
+            elif seg_mode == "segment":
+                # one segment id per contiguous selected run
+                runs = np.cumsum(np.abs(np.diff(np.r_[0, mask > 0])))[..., None]
+                ids = np.maximum((runs[:, 0] - 1) // 2, 0).astype(np.int32)
+                n_seg = int(ids.max()) + 1 if ids.size else 1
+                y = cmvn_segmental(x, jnp.asarray(ids), w, n_seg)
+            else:
+                y = cmvn_global(x, w, cms_only=cms_only, var_only=var_only)
+        elif mode == "featWarp":
+            y = feature_warping(x, w, window if window % 2 == 1 else window + 1)
+        elif mode == "info":
+            mean = np.average(fs.data, axis=0, weights=mask)
+            var = np.average((fs.data - mean) ** 2, axis=0, weights=mask)
+            print(f"[{name}] mean={mean} var={var}")
+            out[name] = np.stack([mean, var])
+            continue
+        else:
+            raise ValueError(f"unknown NormFeat mode {mode}")
+        data = np.asarray(y, np.float32)
+        if cfg.get_bool("writeAllFeatures", True):
+            keep = data
+        else:
+            keep = data[mask > 0]
+        write_feature_file(_out_path(name, cfg), keep,
+                           fmt=cfg.get_str("saveFeatureFileFormat", "SPRO4"))
+        out[name] = keep
+        if verbose:
+            print(f"[{name}] mode={mode}/{seg_mode} → {_out_path(name, cfg)}")
+    return out
+
+
+if __name__ == "__main__":
+    main(Config.from_cli(sys.argv[1:]))

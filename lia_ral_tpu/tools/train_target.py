@@ -1,0 +1,57 @@
+"""TrainTarget: MAP/MLLR target model training CLI.
+
+Equivalent of reference ``LIA_SpkDet/TrainTarget`` (TrainTarget.cpp:73-237):
+per line of ``targetIdList`` (client id followed by its training files),
+MAP-adapt the world model on the client's frames and save the client model.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..gmm.map_adapt import MapCfg, adapt_model
+from ..gmm.model import GmmDiag
+from .common import load_features_and_mask, mixture_path, setup_verbose
+from ..io.lists import read_ndx
+
+
+def main(cfg: Config) -> dict[str, GmmDiag]:
+    verbose = setup_verbose(cfg)
+    ndx_path = cfg.get_str("targetIdList")
+    world = GmmDiag.load(mixture_path(cfg.get_str("inputWorldFilename"), cfg))
+    mcfg = MapCfg.from_config(cfg)
+    seed = cfg.get_int("randomSeed", 0)
+    out: dict[str, GmmDiag] = {}
+    for line_no, (client, files) in enumerate(read_ndx(ndx_path)):
+        try:
+            fs, mask = load_features_and_mask(files, cfg)
+        except FileNotFoundError as e:
+            # reference warns and optionally falls back to the world model
+            print(f"WARNING: no data for client [{client}]: {e}")
+            if cfg.get_bool("useModelData", False):
+                out[client] = world
+                world.save(mixture_path(client, cfg, save=True),
+                           fmt=cfg.get_str("saveMixtureFileFormat", "RAW"),
+                           model_id=client)
+            continue
+        x = jnp.asarray(fs.data)
+        w = jnp.asarray(mask)
+        key = jax.random.key(seed + line_no)
+        client_model = adapt_model(key, x, w, world, mcfg)
+        client_model.save(mixture_path(client, cfg, save=True),
+                          fmt=cfg.get_str("saveMixtureFileFormat", "RAW"),
+                          model_id=client)
+        out[client] = client_model
+        if verbose:
+            print(f"client [{client}]: {int(mask.sum())} frames "
+                  f"→ {mixture_path(client, cfg, save=True)}")
+    return out
+
+
+if __name__ == "__main__":
+    main(Config.from_cli(sys.argv[1:]))

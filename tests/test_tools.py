@@ -1,0 +1,167 @@
+"""End-to-end tool pipeline tests, driven by the reference test fixtures
+(copied into tmp at runtime) and the reference's own config files."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from lia_ral_tpu.config import Config
+from lia_ral_tpu.io import read_gmm_file, read_label_file, read_nist_scores
+from lia_ral_tpu.io.features import read_feature_file, write_feature_file
+from lia_ral_tpu.io.labels import Segment, write_label_file
+from lia_ral_tpu.io.lists import write_xlist
+from lia_ral_tpu.tools import (compute_test, energy_detector, norm_feat,
+                               train_target, train_world)
+from tests.conftest import REFERENCE, requires_reference
+
+FIX = os.path.join(REFERENCE, "LIA_SpkDet")
+
+
+@requires_reference
+def test_energy_detector_on_reference_fixture(tmp_path):
+    """Run the EnergyDetector tool with the reference's own config file on
+    the reference's fixture features, compare against the golden label."""
+    d = str(tmp_path)
+    shutil.copy(os.path.join(FIX, "EnergyDetector/test/test1.prm"), d)
+    shutil.copy(os.path.join(FIX, "EnergyDetector/test/test1.lbl"), d)
+    cfg = Config.load(os.path.join(FIX, "EnergyDetector/test/EnergyDetector.cfg"))
+    for k in ("featureFilesPath", "mixtureFilesPath", "labelFilesPath", "lstPath"):
+        cfg[k] = d + "/"
+    cfg["loadLabelFileExtension"] = ".lbl"
+    out = energy_detector.main(cfg)
+    got = read_label_file(os.path.join(d, "test1.enr.lbl"))
+    golden = read_label_file(os.path.join(
+        FIX, "EnergyDetector/test/test1.validate.enr.lbl"))
+    # golden: exactly one speech segment 0.21-0.26 inside the 0-0.25 'male'
+    # region; EM trajectories differ so require overlap, not identity
+    assert len(got) >= 1
+    assert all(g.label == "speech" for g in got)
+    v0 = golden[0]
+    best_overlap = max(min(g.end, v0.end) - max(g.begin, v0.begin)
+                       for g in got)
+    assert best_overlap > 0, (got, golden)
+    del out
+
+
+@requires_reference
+def test_train_world_on_reference_fixture(tmp_path):
+    d = str(tmp_path)
+    shutil.copy(os.path.join(FIX, "TrainWorld/test/test1.prm"), d)
+    shutil.copy(os.path.join(FIX, "TrainWorld/test/test1.lbl"), d)
+    write_xlist(os.path.join(d, "seg_app.lst"), [["test1"], ["test1"]])
+    cfg = Config.load(os.path.join(FIX, "TrainWorld/test/TrainWorld.cfg"))
+    for k in ("featureFilesPath", "mixtureFilesPath", "labelFilesPath", "lstPath"):
+        cfg[k] = d + "/"
+    cfg["loadLabelFileExtension"] = ".lbl"
+    cfg["nbTrainIt"] = 5
+    world = train_world.main(cfg)
+    # golden wld.validate is a 10-comp model from a different cfg; here we
+    # check structural parity of our 20-comp result + file round-trip
+    w, m, ci = read_gmm_file(os.path.join(d, "wld.gmm"))
+    assert w.shape == (20,) and m.shape == (20, 32)
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
+    assert np.isfinite(m).all() and (ci > 0).all()
+    del world
+
+
+@requires_reference
+def test_full_pipeline_train_target_compute_test(tmp_path):
+    """TrainWorld → TrainTarget → ComputeTest on synthetic two-speaker data:
+    the full reference file-DAG through our tools."""
+    d = str(tmp_path)
+    rng = np.random.default_rng(7)
+    dim, k = 10, 16
+    c_a = rng.standard_normal((k, dim)) * 2
+    def utt(shift, n):
+        return (c_a[rng.integers(0, k, n)] + shift
+                + rng.standard_normal((n, dim)) * 0.5).astype(np.float32)
+    write_feature_file(os.path.join(d, "bg.prm"), utt(0, 8000), fmt="SPRO4")
+    write_feature_file(os.path.join(d, "spk1.prm"), utt(1.0, 2000), fmt="SPRO4")
+    write_feature_file(os.path.join(d, "spk2.prm"), utt(-1.0, 2000), fmt="SPRO4")
+    write_feature_file(os.path.join(d, "test_spk1.prm"), utt(1.0, 800),
+                       fmt="SPRO4")
+    base = {
+        "featureFilesPath": d + "/", "mixtureFilesPath": d + "/",
+        "labelFilesPath": d + "/", "lstPath": d + "/",
+        "loadFeatureFileFormat": "SPRO4", "loadFeatureFileExtension": ".prm",
+        "saveMixtureFileFormat": "RAW", "saveMixtureFileExtension": ".gmm",
+        "loadMixtureFileExtension": ".gmm",
+        "addDefaultLabel": "true", "defaultLabel": "speech",
+        "labelSelectedFrames": "speech",
+        "mixtureDistribCount": k,
+        "initVarianceFlooring": 1.0, "initVarianceCeiling": 10.0,
+        "finalVarianceFlooring": 0.5, "finalVarianceCeiling": 5.0,
+        "nbTrainIt": 5, "baggedFrameProbability": 1.0,
+        "baggedFrameProbabilityInit": 1.0,
+    }
+    cfg = Config(base)
+    cfg["inputFeatureFilename"] = "bg"
+    cfg["outputWorldFilename"] = "wld"
+    train_world.main(cfg)
+
+    write_xlist(os.path.join(d, "trainNdx"),
+                [["spk1", "spk1"], ["spk2", "spk2"]])
+    tcfg = Config(base)
+    tcfg["targetIdList"] = os.path.join(d, "trainNdx")
+    tcfg["inputWorldFilename"] = "wld"
+    tcfg["MAPAlgo"] = "MAPOccDep"
+    tcfg["meanAdapt"] = "true"
+    tcfg["MAPRegFactorMean"] = 14.0
+    tcfg["nbTrainIt"] = 2
+    train_target.main(tcfg)
+
+    write_xlist(os.path.join(d, "testNdx"), [["test_spk1", "spk1", "spk2"]])
+    scfg = Config(base)
+    scfg["ndxFilename"] = os.path.join(d, "testNdx")
+    scfg["inputWorldFilename"] = "wld"
+    scfg["outputFilename"] = os.path.join(d, "scores.nist")
+    scfg["gender"] = "M"
+    scfg["topDistribsCount"] = 10
+    compute_test.main(scfg)
+
+    scores = read_nist_scores(os.path.join(d, "scores.nist"))
+    assert len(scores) == 2
+    by_model = {s.model: s.score for s in scores}
+    assert by_model["spk1"] > by_model["spk2"]
+    assert by_model["spk1"] > 0
+
+
+def test_norm_feat_tool(tmp_path):
+    d = str(tmp_path)
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((300, 8)) * 4 + 7).astype(np.float32)
+    write_feature_file(os.path.join(d, "u1.prm"), x, fmt="SPRO4")
+    cfg = Config({
+        "featureFilesPath": d + "/", "labelFilesPath": d + "/",
+        "loadFeatureFileFormat": "SPRO4", "loadFeatureFileExtension": ".prm",
+        "saveFeatureFileFormat": "SPRO4",
+        "saveFeatureFileExtension": ".norm.prm",
+        "addDefaultLabel": "true", "defaultLabel": "speech",
+        "labelSelectedFrames": "speech",
+        "inputFeatureFilename": "u1", "mode": "norm",
+    })
+    norm_feat.main(cfg)
+    y = read_feature_file(os.path.join(d, "u1.norm.prm"), fmt="SPRO4").data
+    np.testing.assert_allclose(y.mean(0), 0, atol=1e-3)
+    np.testing.assert_allclose(y.std(0), 1, atol=1e-2)
+
+
+@requires_reference
+def test_norm_feat_window_on_reference_fixture(tmp_path):
+    d = str(tmp_path)
+    shutil.copy(os.path.join(FIX, "NormFeat/test/test1.prm"), d)
+    cfg = Config({
+        "featureFilesPath": d + "/", "labelFilesPath": d + "/",
+        "loadFeatureFileFormat": "SPRO3", "loadFeatureFileExtension": ".prm",
+        "saveFeatureFileFormat": "SPRO4",
+        "saveFeatureFileExtension": ".norm.prm",
+        "addDefaultLabel": "true", "defaultLabel": "speech",
+        "labelSelectedFrames": "speech",
+        "inputFeatureFilename": "test1", "mode": "norm",
+        "segmentalMode": "window", "windowDuration": 0.2,
+    })
+    out = norm_feat.main(cfg)
+    assert out["test1"].shape == (50, 34)
+    assert np.isfinite(out["test1"]).all()
