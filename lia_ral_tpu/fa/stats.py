@@ -1,0 +1,100 @@
+"""Baum-Welch sufficient statistics (N, F) per utterance/speaker.
+
+TPU-native equivalent of reference ``computeAndAccumulateTVStat``
+(AccumulateTVStat.cpp:281-351 — hot loop 332-349: occupancy posteriors ×
+frames into _statN/_statF) and the ComputeJFAStats precompute tool
+(SURVEY.md §2.2).  Utterances are processed as padded (S, T, D) batches
+with (S, T) masks; the stats of each utterance are two matmul reductions.
+
+Checkpointing (saveAccs parity, AccumulateTVStat.cpp:1614): stats are
+saved as .npz pytrees plus ALIZE-format .matx matrices for interop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..gmm.kernels import llk_and_posteriors
+from ..gmm.model import GmmDiag
+
+
+@struct.dataclass
+class BwStats:
+    """Zero- and first-order Baum-Welch stats per utterance.
+
+    n: (S, K) occupancy; f: (S, K, D) first-order sums (raw — centering by
+    the UBM mean happens in the consumer, matching the reference where
+    substractM mutates _statF after load).
+    """
+
+    n: jax.Array
+    f: jax.Array
+
+    @property
+    def n_utts(self) -> int:
+        return self.n.shape[0]
+
+    def merge(self, other: "BwStats") -> "BwStats":
+        """Concatenate along the utterance axis."""
+        return BwStats(n=jnp.concatenate([self.n, other.n]),
+                       f=jnp.concatenate([self.f, other.f]))
+
+    def centered(self, ubm_means: jax.Array) -> jax.Array:
+        """F̄ = F − N·m (reference substractM, AccumulateTVStat.cpp:1078)."""
+        return self.f - self.n[..., None] * ubm_means[None, :, :]
+
+    def normalized(self, ubm_means: jax.Array, ubm_inv_var: jax.Array
+                   ) -> jax.Array:
+        """F̄·sqrt(Σ⁻¹) (reference normStatistics, cpp:1215)."""
+        return self.centered(ubm_means) * jnp.sqrt(ubm_inv_var)[None, :, :]
+
+
+def accumulate_bw_stats(x: jax.Array, w: jax.Array, gmm: GmmDiag
+                        ) -> tuple[jax.Array, jax.Array]:
+    """Stats of ONE utterance: x (T,D), w (T,) → (n (K,), f (K,D))."""
+    _, post = llk_and_posteriors(x, gmm)
+    pw = post * w[:, None]
+    n = jnp.sum(pw, axis=0)
+    f = jnp.dot(pw.T, x, preferred_element_type=jnp.float32)
+    return n, f
+
+
+def bw_stats_batch(x: jax.Array, mask: jax.Array, gmm: GmmDiag) -> BwStats:
+    """Stats of a padded utterance batch: x (S,T,D), mask (S,T)."""
+    n, f = jax.vmap(lambda xs, ws: accumulate_bw_stats(xs, ws, gmm))(x, mask)
+    return BwStats(n=n, f=f)
+
+
+def save_stats(path: str, stats: BwStats, names: list[str] | None = None
+               ) -> None:
+    np.savez(path,
+             n=np.asarray(stats.n), f=np.asarray(stats.f),
+             names=np.asarray(names if names is not None else [], dtype=object))
+
+
+def load_stats(path: str) -> tuple[BwStats, list[str]]:
+    z = np.load(path, allow_pickle=True)
+    return (BwStats(n=jnp.asarray(z["n"]), f=jnp.asarray(z["f"])),
+            list(z["names"]))
+
+
+def save_stats_matx(prefix: str, stats: BwStats, fmt: str = "DB") -> None:
+    """ALIZE-interop checkpoint: <prefix>_N.matx (S,K) and <prefix>_F_X.matx
+    (S, K·D) — the reference's saveAccs layout."""
+    from ..io.matrix import write_matrix_file
+    s, k, d = stats.f.shape
+    write_matrix_file(prefix + "_N.matx", np.asarray(stats.n, np.float64), fmt)
+    write_matrix_file(prefix + "_F_X.matx",
+                      np.asarray(stats.f, np.float64).reshape(s, k * d), fmt)
+
+
+def load_stats_matx(prefix: str, vect_size: int) -> BwStats:
+    from ..io.matrix import read_matrix_file
+    n = read_matrix_file(prefix + "_N.matx")
+    f = read_matrix_file(prefix + "_F_X.matx")
+    s, k = n.shape
+    return BwStats(n=jnp.asarray(n, jnp.float32),
+                   f=jnp.asarray(f.reshape(s, k, vect_size), jnp.float32))

@@ -1,0 +1,109 @@
+"""TotalVariability: T-matrix EM trainer CLI.
+
+Equivalent of reference ``LIA_SpkDet/TotalVariability``
+(TotalVariability.cpp:71-248): accumulate (or load) Baum-Welch stats →
+random T init → EM loop with optional minimum divergence → save T (and the
+ubmWeight / eigenDecomposition approximation matrices on request).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..fa.stats import BwStats, bw_stats_batch, load_stats, save_stats
+from ..fa.tv import (TvModel, approximate_tctc, eigen_decompose_w, init_t,
+                     tv_em_iteration, weighted_cov)
+from ..gmm.model import GmmDiag
+from ..io.lists import read_ndx
+from ..io.matrix import write_matrix_file
+from .common import load_features_and_mask, mixture_path, setup_verbose
+
+
+def matrix_out_path(name: str, cfg: Config) -> str:
+    root = cfg.get_str("matrixFilesPath", "./")
+    ext = cfg.get_str("saveMatrixFilesExtension", ".matx")
+    return os.path.join(root, name + ext)
+
+
+def accumulate_stats_from_ndx(cfg: Config, gmm: GmmDiag,
+                              verbose: bool = False
+                              ) -> tuple[BwStats, list[str]]:
+    """Per NDX line (session id + feature files): one stats row.
+
+    The reference uses TVTranslate to map files↔sessions
+    (AccumulateTVStat.h:78-191); here each NDX line is one session.
+    """
+    ndx = read_ndx(cfg.get_str("ndxFilename"))
+    names, rows_n, rows_f = [], [], []
+    for session, files in ndx:
+        if not files:
+            files = [session]
+        fs, mask = load_features_and_mask(files, cfg)
+        from ..fa.stats import accumulate_bw_stats
+        n, f = accumulate_bw_stats(jnp.asarray(fs.data), jnp.asarray(mask),
+                                   gmm)
+        names.append(session)
+        rows_n.append(n)
+        rows_f.append(f)
+        if verbose:
+            print(f"stats [{session}]: {int(mask.sum())} frames")
+    stats = BwStats(n=jnp.stack(rows_n), f=jnp.stack(rows_f))
+    return stats, names
+
+
+def main(cfg: Config) -> TvModel:
+    verbose = setup_verbose(cfg)
+    gmm = GmmDiag.load(mixture_path(cfg.get_str("inputWorldFilename"), cfg))
+    rank = cfg.get_int("totalVariabilityNumber")
+    nb_it = cfg.get_int("nbIt", 10)
+    min_div = cfg.get_bool("minDivergence", True)
+    if cfg.get_bool("loadAccs", False):
+        stats, names = load_stats(cfg.get_str("accsFilename"))
+    else:
+        stats, names = accumulate_stats_from_ndx(cfg, gmm, verbose)
+        if cfg.exists("accsFilename"):
+            save_stats(cfg.get_str("accsFilename"), stats, names)
+    key = jax.random.key(cfg.get_int("randomSeed", 0))
+    model = init_t(key, rank, gmm,
+                   scale=cfg.get_float("initScale", 0.001))
+    if cfg.get_bool("saveInitMatrix", False):
+        model.save(matrix_out_path(
+            cfg.get_str("totalVariabilityMatrix") + "_init", cfg))
+    for it in range(nb_it):
+        model, w = tv_em_iteration(stats, model,
+                                   chunk=cfg.get_int("speakerChunk", 64),
+                                   min_div=min_div)
+        if verbose:
+            print(f"TV EM it {it}: |T|={float(jnp.abs(model.t).mean()):.5f}")
+    model.save(matrix_out_path(cfg.get_str("totalVariabilityMatrix"), cfg))
+    if min_div:
+        write_matrix_file(matrix_out_path(
+            cfg.get_str("meanEstimate", "meanEstimate"), cfg),
+            np.asarray(model.ubm_means, np.float64).reshape(1, -1))
+    if cfg.exists("approximationMode"):
+        mode = cfg.get_str("approximationMode")
+        w_mat = weighted_cov(model, gmm.weights)
+        base = cfg.get_str("totalVariabilityMatrix")
+        if mode == "ubmWeight":
+            write_matrix_file(matrix_out_path(base + "_weightedCov", cfg),
+                              np.asarray(w_mat, np.float64))
+        elif mode == "eigenDecomposition":
+            q = eigen_decompose_w(w_mat)
+            d_mat = approximate_tctc(model, q)
+            write_matrix_file(matrix_out_path(base + "_EigDec_D", cfg),
+                              np.asarray(d_mat, np.float64))
+            write_matrix_file(matrix_out_path(base + "_EigDec_Q", cfg),
+                              np.asarray(q, np.float64))
+        else:
+            print(f"approximationMode [{mode}] unknown")
+    return model
+
+
+if __name__ == "__main__":
+    main(Config.from_cli(sys.argv[1:]))

@@ -1,0 +1,176 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lia_ral_tpu.backend import (
+    DevSet, PldaModel, apply_efr, compute_cov_matrices, compute_lda,
+    compute_mahalanobis, compute_wccn, cosine_scores, efr_iterations,
+    length_norm, mahalanobis_scores, plda_llr, plda_train, tnorm,
+    two_cov_scores, znorm, ztnorm,
+)
+from lia_ral_tpu.backend.eval import eer, min_dcf
+
+
+def make_ivectors(rng, n_spk=20, sess_per_spk=6, r=16, between=1.0,
+                  within=0.4):
+    spk_means = rng.standard_normal((n_spk, r)) * between
+    vecs, labels = [], []
+    for s in range(n_spk):
+        for _ in range(sess_per_spk):
+            vecs.append(spk_means[s] + rng.standard_normal(r) * within)
+            labels.append(f"spk{s}")
+    return np.asarray(vecs, np.float32), labels, spk_means
+
+
+def test_cov_matrices_decomposition(rng):
+    vecs, labels, _ = make_ivectors(rng)
+    dev = DevSet.from_labels(vecs, labels)
+    sigma, w, b = (np.asarray(m) for m in compute_cov_matrices(dev))
+    # total = within + between (exact by construction of the estimators)
+    np.testing.assert_allclose(sigma, w + b, rtol=1e-3, atol=1e-4)
+    assert np.all(np.linalg.eigvalsh(w) > -1e-5)
+
+
+def test_length_norm(rng):
+    x = jnp.asarray(rng.standard_normal((10, 5)), jnp.float32)
+    y = np.asarray(length_norm(x))
+    np.testing.assert_allclose(np.linalg.norm(y, axis=1), 1.0, rtol=1e-5)
+
+
+def test_efr_whitens_and_applies(rng):
+    vecs, labels, _ = make_ivectors(rng)
+    dev = DevSet.from_labels(vecs, labels)
+    out, params = efr_iterations(dev, n_iterations=2, mode="EFR")
+    out = np.asarray(out)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+    # applying recorded transforms to the same data reproduces the result
+    re = np.asarray(apply_efr(dev.vectors, params))
+    np.testing.assert_allclose(re, out, rtol=1e-4, atol=1e-5)
+    # covariance after EFR is closer to spherical
+    c = np.cov(out.T)
+    ratio = np.linalg.eigvalsh(c).max() / max(np.linalg.eigvalsh(c).min(), 1e-9)
+    c0 = np.cov(vecs.T)
+    ratio0 = np.linalg.eigvalsh(c0).max() / np.linalg.eigvalsh(c0).min()
+    assert ratio < ratio0
+
+
+def test_lda_improves_separation(rng):
+    vecs, labels, _ = make_ivectors(rng, between=1.0, within=0.6)
+    dev = DevSet.from_labels(vecs, labels)
+    proj = compute_lda(dev, rank=8)
+    assert np.asarray(proj).shape == (8, 16)
+    y = np.asarray(dev.vectors @ proj.T)
+    dev2 = DevSet.from_labels(y, labels)
+    _, w2, b2 = (np.asarray(m) for m in compute_cov_matrices(dev2))
+    _, w1, b1 = (np.asarray(m) for m in compute_cov_matrices(dev))
+    fisher_before = np.trace(b1) / np.trace(w1)
+    fisher_after = np.trace(b2) / np.trace(w2)
+    assert fisher_after > fisher_before
+
+
+def _trial_scores(rng, score_fn):
+    """Build enroll/test split and return (target_scores, impostor_scores)."""
+    vecs, labels, spk_means = make_ivectors(rng, n_spk=15, sess_per_spk=8)
+    dev = DevSet.from_labels(vecs, labels)
+    # unseen sessions of the same speakers
+    enroll = spk_means + rng.standard_normal(spk_means.shape) * 0.15
+    test = spk_means + rng.standard_normal(spk_means.shape) * 0.4
+    s = np.asarray(score_fn(dev, jnp.asarray(enroll, jnp.float32),
+                            jnp.asarray(test, jnp.float32)))
+    tgt = np.diag(s)
+    imp = s[~np.eye(s.shape[0], dtype=bool)]
+    return tgt, imp
+
+
+def test_cosine_discriminates(rng):
+    def fn(dev, e, t):
+        return cosine_scores(e, t, wccn=compute_wccn(dev))
+    tgt, imp = _trial_scores(rng, fn)
+    assert eer(tgt, imp) < 0.05
+
+
+def test_mahalanobis_discriminates(rng):
+    def fn(dev, e, t):
+        return mahalanobis_scores(e, t, compute_mahalanobis(dev))
+    tgt, imp = _trial_scores(rng, fn)
+    assert eer(tgt, imp) < 0.05
+
+
+def test_two_cov_discriminates(rng):
+    def fn(dev, e, t):
+        _, w, b = compute_cov_matrices(dev)
+        mean = jnp.mean(dev.vectors, axis=0)
+        return two_cov_scores(e - mean, t - mean, w, b)
+    tgt, imp = _trial_scores(rng, fn)
+    assert eer(tgt, imp) < 0.05
+
+
+def test_plda_train_and_score(rng):
+    def fn(dev, e, t):
+        model = plda_train(jax.random.key(0), dev, rank_f=8,
+                           n_iterations=8)
+        ns = jnp.ones((e.shape[0],))
+        return plda_llr(model, e, ns, t)
+    tgt, imp = _trial_scores(rng, fn)
+    assert eer(tgt, imp) < 0.05
+    assert tgt.mean() > imp.mean()
+
+
+def test_plda_with_channel_subspace(rng):
+    vecs, labels, _ = make_ivectors(rng, n_spk=12, sess_per_spk=10)
+    dev = DevSet.from_labels(vecs, labels)
+    model = plda_train(jax.random.key(1), dev, rank_f=6, rank_g=4,
+                       n_iterations=5)
+    assert np.isfinite(np.asarray(model.f)).all()
+    assert np.isfinite(np.asarray(model.g)).all()
+    assert model.rank_g == 4
+
+
+def test_plda_multisession_enrollment_helps(rng):
+    """More enrollment sessions → better separation (n_sessions matters)."""
+    vecs, labels, spk_means = make_ivectors(rng, n_spk=15, sess_per_spk=8,
+                                            within=0.6)
+    dev = DevSet.from_labels(vecs, labels)
+    model = plda_train(jax.random.key(2), dev, rank_f=8, n_iterations=6)
+    n_spk = spk_means.shape[0]
+    test = jnp.asarray(spk_means + rng.standard_normal(spk_means.shape) * 0.6,
+                       jnp.float32)
+    for n_enroll, eers in ((1, []), ):
+        pass
+    def run(n_e):
+        enr = spk_means + rng.standard_normal(spk_means.shape) * 0.6 / np.sqrt(n_e)
+        s = np.asarray(plda_llr(model, jnp.asarray(enr, jnp.float32),
+                                jnp.full((n_spk,), float(n_e)), test))
+        return eer(np.diag(s), s[~np.eye(n_spk, dtype=bool)])
+    assert run(8) <= run(1) + 0.02
+
+
+def test_score_normalization(rng):
+    m, t, i, z = 6, 8, 10, 12
+    scores = jnp.asarray(rng.standard_normal((m, t)) + 2.0, jnp.float32)
+    imp_seg = jnp.asarray(rng.standard_normal((m, z)) * 2 + 1, jnp.float32)
+    imp_mod = jnp.asarray(rng.standard_normal((i, t)) * 2 + 1, jnp.float32)
+    imp_cross = jnp.asarray(rng.standard_normal((i, z)) * 2 + 1, jnp.float32)
+    zn = np.asarray(znorm(scores, imp_seg))
+    assert zn.shape == (m, t)
+    tn = np.asarray(tnorm(scores, imp_mod))
+    # t-normed impostor scores should be ~N(0,1) per segment
+    tn_imp = np.asarray(tnorm(imp_mod, imp_mod))
+    np.testing.assert_allclose(tn_imp.mean(0), 0, atol=1e-4)
+    np.testing.assert_allclose(tn_imp.std(0), 1, atol=1e-3)
+    zt = np.asarray(ztnorm(scores, imp_seg, imp_mod, imp_cross))
+    assert np.isfinite(zt).all()
+    del tn
+
+
+def test_eer_min_dcf_sanity(rng):
+    tgt = rng.standard_normal(1000) + 2.0
+    imp = rng.standard_normal(5000)
+    e = eer(tgt, imp)
+    assert 0.10 < e < 0.25   # ~15.9% for unit-var gaussians 2 apart
+    d = min_dcf(tgt, imp, p_target=0.01)
+    assert 0.0 < d <= 1.0
+    # perfect separation
+    assert eer(imp + 100.0, imp) == 0.0
