@@ -1,0 +1,145 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lia_ral_tpu.fa.jfa import (JfaModel, JfaStats, estimate_x, estimate_y,
+                                estimate_z_map, jfa_dot_product_scores,
+                                jfa_train, jfa_u_iteration, jfa_v_iteration)
+from lia_ral_tpu.fa.stats import BwStats, bw_stats_batch
+from lia_ral_tpu.gmm import GmmDiag
+
+
+def random_gmm(rng, k, d):
+    w = rng.random(k) + 0.5
+    w /= w.sum()
+    return GmmDiag.create(w, rng.standard_normal((k, d)) * 2,
+                          rng.random((k, d)) * 0.5 + 0.8)
+
+
+def synth_jfa_data(rng, n_spk=12, sess_per_spk=4, k=8, d=5, rv=2, ru=2,
+                   frames=300, v_scale=1.0, u_scale=0.5):
+    gmm = random_gmm(rng, k, d)
+    v_true = rng.standard_normal((rv, k, d)) * v_scale
+    u_true = rng.standard_normal((ru, k, d)) * u_scale
+    y_true = rng.standard_normal((n_spk, rv))
+    xs, sess_spk, x_true = [], [], []
+    for s in range(n_spk):
+        for _ in range(sess_per_spk):
+            x_h = rng.standard_normal(ru)
+            shift = (np.einsum("r,rkd->kd", y_true[s], v_true)
+                     + np.einsum("r,rkd->kd", x_h, u_true))
+            comp = rng.integers(0, k, frames)
+            x = ((np.asarray(gmm.means) + shift)[comp]
+                 + rng.standard_normal((frames, d)) / np.sqrt(
+                     np.asarray(gmm.cov_inv))[comp])
+            xs.append(x)
+            sess_spk.append(s)
+            x_true.append(x_h)
+    feats = jnp.asarray(np.stack(xs), jnp.float32)
+    sess = bw_stats_batch(feats, jnp.ones(feats.shape[:2]), gmm)
+    stats = JfaStats.from_sessions(sess, np.asarray(sess_spk), n_spk)
+    return gmm, stats, v_true, u_true, y_true, np.stack(x_true)
+
+
+def test_speaker_stats_aggregation(rng):
+    gmm, stats, *_ = synth_jfa_data(rng, n_spk=3, sess_per_spk=2)
+    np.testing.assert_allclose(
+        np.asarray(stats.spk.n).sum(), np.asarray(stats.sess.n).sum(),
+        rtol=1e-5)
+    # speaker 0 stats = sum of its sessions
+    np.testing.assert_allclose(
+        np.asarray(stats.spk.n[0]),
+        np.asarray(stats.sess.n[np.asarray(stats.sess_spk) == 0]).sum(0),
+        rtol=1e-4)
+
+
+def test_v_training_recovers_subspace(rng):
+    gmm, stats, v_true, u_true, y_true, _ = synth_jfa_data(
+        rng, u_scale=0.0)   # no channel effect: pure eigenvoice case
+    rv = v_true.shape[0]
+    model, y, x, z = jfa_train(jax.random.key(0), stats, gmm,
+                               rank_v=rv, rank_u=2, nb_it_v=8, nb_it_u=0)
+
+    def gap(t_est, t_ref):
+        a = t_est.reshape(t_est.shape[0], -1).T
+        b = t_ref.reshape(t_ref.shape[0], -1).T
+        qa, _ = np.linalg.qr(a)
+        qb, _ = np.linalg.qr(b)
+        return 1 - np.linalg.svd(qa.T @ qb, compute_uv=False).min()
+
+    g = gap(np.asarray(model.v), v_true)
+    assert g < 0.1, g
+    # y estimates correlate with truth (up to rotation): check via
+    # canonical correlation of the two sets
+    yh = np.asarray(y)
+    cc = np.linalg.svd(np.linalg.qr(yh)[0].T @ np.linalg.qr(y_true)[0],
+                       compute_uv=False)
+    assert cc.min() > 0.8, cc
+
+
+def test_u_iteration_reduces_channel_residual(rng):
+    gmm, stats, v_true, u_true, y_true, x_true = synth_jfa_data(rng)
+    model, y, x, z = jfa_train(jax.random.key(1), stats, gmm,
+                               rank_v=2, rank_u=2, nb_it_v=6, nb_it_u=6)
+    assert np.isfinite(np.asarray(model.u)).all()
+    # estimated x should correlate with true channel factors
+    xh = np.asarray(x)
+    cc = np.linalg.svd(np.linalg.qr(xh)[0].T @ np.linalg.qr(x_true)[0],
+                       compute_uv=False)
+    assert cc.min() > 0.5, cc
+
+
+def test_d_iteration_and_z(rng):
+    gmm, stats, *_ = synth_jfa_data(rng, n_spk=6, sess_per_spk=3)
+    model, y, x, z = jfa_train(jax.random.key(2), stats, gmm,
+                               rank_v=2, rank_u=2, nb_it_v=4, nb_it_u=3,
+                               nb_it_d=3)
+    assert np.isfinite(np.asarray(model.d)).all()
+    assert np.isfinite(np.asarray(z)).all()
+    zz = estimate_z_map(stats, model, y, x, tau=10.0)
+    assert zz.shape == z.shape
+
+
+def test_supervector_synthesis(rng):
+    gmm = random_gmm(rng, 4, 3)
+    model = JfaModel.init(jax.random.key(3), 2, 2, gmm, scale=0.1)
+    y = jnp.asarray(rng.standard_normal(2), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(2), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)
+    sv = np.asarray(model.supervector(y, x, z))
+    manual = (np.asarray(gmm.means)
+              + np.einsum("r,rkd->kd", np.asarray(y), np.asarray(model.v))
+              + np.einsum("r,rkd->kd", np.asarray(x), np.asarray(model.u))
+              + np.asarray(model.d) * np.asarray(z))
+    np.testing.assert_allclose(sv, manual, rtol=1e-5)
+    spk = model.speaker_gmm(y, z, gmm.weights)
+    assert isinstance(spk, GmmDiag)
+
+
+def test_dot_product_scoring_discriminates(rng):
+    gmm, stats, v_true, u_true, y_true, _ = synth_jfa_data(
+        rng, n_spk=8, sess_per_spk=4, u_scale=0.3)
+    model, y, x, z = jfa_train(jax.random.key(4), stats, gmm,
+                               rank_v=2, rank_u=2, nb_it_v=6, nb_it_u=4)
+    # make fresh test sessions per speaker
+    k, d = np.asarray(gmm.means).shape
+    xs = []
+    for s in range(8):
+        shift = np.einsum("r,rkd->kd", y_true[s], v_true)
+        comp = rng.integers(0, k, 300)
+        xs.append((np.asarray(gmm.means) + shift)[comp]
+                  + rng.standard_normal((300, d)) / np.sqrt(
+                      np.asarray(gmm.cov_inv))[comp])
+    feats = jnp.asarray(np.stack(xs), jnp.float32)
+    test_stats = bw_stats_batch(feats, jnp.ones(feats.shape[:2]), gmm)
+    x_test, _ = estimate_x(
+        JfaStats.from_sessions(test_stats, np.arange(8), 8),
+        model, jnp.zeros((8, 2)), jnp.zeros((8, k, d)))
+    scores = np.asarray(jfa_dot_product_scores(test_stats, model, y,
+                                               x_test))
+    # diagonal (same speaker) should beat off-diagonal on average
+    tgt = np.diag(scores).mean()
+    imp = scores[~np.eye(8, dtype=bool)].mean()
+    assert tgt > imp, (tgt, imp)
