@@ -1,0 +1,142 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lia_ral_tpu.gmm import GmmDiag, TrainCfg, mixture_init, train_model
+from lia_ral_tpu.seg import (DiarHmm, acoustic_segmentation, bic_crit,
+                             clr_crit, delta_bic_crit, e_hmm_segmentation,
+                             gllr_crit, resegmentation, turn_detection,
+                             viterbi_decode)
+from lia_ral_tpu.seg.hmm import compute_transitions, path_to_segments
+
+
+def gauss_gmm(mean, var=0.3, d=4):
+    return GmmDiag.create(np.ones(1), np.full((1, d), mean),
+                          np.full((1, d), 1.0 / var))
+
+
+def two_speaker_signal(rng, n_turns=6, turn_len=200, d=4, sep=3.0):
+    xs, truth = [], []
+    for i in range(n_turns):
+        spk = i % 2
+        mean = sep if spk == 0 else -sep
+        xs.append(mean + rng.standard_normal((turn_len, d)) * 0.5)
+        truth.extend([spk] * turn_len)
+    return np.concatenate(xs).astype(np.float32), np.asarray(truth)
+
+
+def test_transitions():
+    t = compute_transitions(3, gamma=0.8)
+    np.testing.assert_allclose(t.sum(1), 1.0)
+    assert t[0, 0] == 0.8
+
+
+def test_viterbi_recovers_states(rng):
+    x, truth = two_speaker_signal(rng)
+    hmm = DiarHmm.from_gmms([gauss_gmm(3.0), gauss_gmm(-3.0)], ["A", "B"])
+    path = viterbi_decode(jnp.asarray(x), hmm)
+    assert (path == truth).mean() > 0.98
+
+
+def test_path_to_segments_min_duration():
+    path = np.asarray([0] * 50 + [1] * 3 + [0] * 50 + [1] * 60)
+    segs = path_to_segments(path, ["A", "B"], 0.01, min_duration=10)
+    # the 3-frame blip is absorbed
+    assert [s.label for s in segs] == ["A", "B"]
+
+
+def test_clustering_criteria_prefer_split_for_distinct(rng):
+    d = 4
+    x1 = rng.standard_normal((300, d)) + 3
+    x2 = rng.standard_normal((300, d)) - 3
+    x = jnp.asarray(np.concatenate([x1, x2]), jnp.float32)
+    w1 = jnp.asarray(np.r_[np.ones(300), np.zeros(300)], jnp.float32)
+    w2 = 1.0 - w1
+    def fit(w):
+        from lia_ral_tpu.gmm.kernels import em_stats
+        from lia_ral_tpu.gmm.em import m_step
+        g = GmmDiag.uniform_init(1, d)
+        for _ in range(3):
+            g = m_step(em_stats(x, w, g))
+        return g
+    m1, m2, m12 = fit(w1), fit(w2), fit(jnp.ones(600))
+    world = m12
+    gllr = gllr_crit(x, w1, w2, m1, m2, m12)
+    assert gllr < 0          # merging distinct speakers loses likelihood
+    clr = clr_crit(x, w1, w2, m1, m2, world)
+    assert clr < 0           # cross-likelihood low for distinct speakers
+    assert delta_bic_crit(x, w1, w2, m1, m2, m12) == gllr
+    # same-speaker case: split halves of one distribution
+    y1 = rng.standard_normal((300, d))
+    y2 = rng.standard_normal((300, d))
+    y = jnp.asarray(np.concatenate([y1, y2]), jnp.float32)
+    def fity(w):
+        from lia_ral_tpu.gmm.kernels import em_stats
+        from lia_ral_tpu.gmm.em import m_step
+        g = GmmDiag.uniform_init(1, d)
+        for _ in range(3):
+            g = m_step(em_stats(y, w, g))
+        return g
+    n1, n2, n12 = fity(w1), fity(w2), fity(jnp.ones(600))
+    gllr_same = gllr_crit(y, w1, w2, n1, n2, n12)
+    assert gllr_same > gllr  # merging same-speaker halves costs less
+    # BIC penalises the extra model for same-speaker data
+    assert bic_crit(y, w1, w2, n1, n2, n12) < bic_crit(x, w1, w2, m1, m2, m12)
+
+
+def test_turn_detection_finds_boundaries(rng):
+    x, truth = two_speaker_signal(rng, n_turns=4, turn_len=150)
+    turns = turn_detection(x, window=50, alpha=0.5, min_gap=40)
+    true_bounds = [150, 300, 450]
+    assert len(turns) >= 2
+    for tb in true_bounds:
+        assert min(abs(t - tb) for t in turns) <= 20, (turns, tb)
+
+
+def _world_for(x, rng_key=0, k=8):
+    xj = jnp.asarray(x)
+    w = jnp.ones(x.shape[0], jnp.float32)
+    init = mixture_init(jax.random.key(rng_key), xj, w, k, 1.0)
+    return train_model(jax.random.key(rng_key + 1), xj, w, init,
+                       TrainCfg(nb_train_it=3))
+
+
+def _diar_error(path, truth):
+    """Best-permutation frame error for 2 speakers."""
+    a = (path == path[0]).astype(int)
+    b = (truth == truth[0]).astype(int)
+    return min(np.mean(a != b), np.mean(a == b))
+
+
+def test_e_hmm_segmentation_two_speakers(rng):
+    x, truth = two_speaker_signal(rng, n_turns=6, turn_len=200)
+    world = _world_for(x)
+    segs, path = e_hmm_segmentation(x, world, max_speakers=2,
+                                    init_seg_frames=150, min_duration=50)
+    assert len(set(s.label for s in segs)) == 2
+    assert _diar_error(path, truth) < 0.1
+
+
+def test_resegmentation_improves_noisy_input(rng):
+    from lia_ral_tpu.io.labels import Segment
+    x, truth = two_speaker_signal(rng, n_turns=6, turn_len=200)
+    world = _world_for(x)
+    # noisy initial segmentation: boundaries off by 60 frames
+    segs0 = []
+    for i in range(6):
+        a = max(i * 200 - 60, 0) if i % 2 else i * 200
+        b = min((i + 1) * 200 + (60 if i % 2 == 0 else 0), 1200)
+        segs0.append(Segment(a * 0.01, b * 0.01, f"SPK{i % 2}"))
+    segs, path = resegmentation(x, segs0, world, nb_it=3)
+    assert _diar_error(path, truth) < 0.08
+
+
+def test_acoustic_segmentation(rng):
+    x, truth = two_speaker_signal(rng, n_turns=4, turn_len=100, sep=4.0)
+    segs, path = acoustic_segmentation(
+        x, [gauss_gmm(4.0), gauss_gmm(-4.0)], ["speech", "music"],
+        min_duration=20)
+    assert (path == truth).mean() > 0.95
+    assert {s.label for s in segs} == {"speech", "music"}
