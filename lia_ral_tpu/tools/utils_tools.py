@@ -1,0 +1,310 @@
+"""LIA_Utils CLI tools (SURVEY.md §2.4) behind one dispatcher.
+
+Modes (utilMode config key) and their reference binaries:
+scoring | fusion (FusionScore) | scoreWarp | hist | modelToSv | napSv |
+readFeatFile | readModel | extractParams | polyExp | gmmTokenizer |
+bNgram | labelNgram | sequenceDecode (SequenceExtractor+Decoder) |
+labelFusion | timeCluster | svmTrain | svmPredict (Svm).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..backend.supervector import model_to_sv, nap_project_vectors
+from ..backend.svm import SvmModel, svm_train
+from ..config import Config
+from ..gmm.model import GmmDiag
+from ..io.features import read_feature_file, write_feature_file
+from ..io.labels import read_label_file, write_label_file
+from ..io.lists import read_ndx, read_simple_list
+from ..io.matrix import read_matrix_file, write_matrix_file
+from ..io.nist import read_nist_scores, write_nist_scores
+from ..utils import (NGramModel, confusion_matrix, fuse_label_files,
+                     fuse_scores, gmm_tokenize, histogram,
+                     max_score_identification, ngram_counts, poly_expand,
+                     score_warp, scoring_decisions, sequence_decode,
+                     time_cluster_filter)
+from ..utils.polyexp import glds_expand_mean
+from .common import (load_features_and_mask, mixture_path, resolve_list,
+                     setup_verbose)
+
+
+def scoring_main(cfg: Config):
+    lines = read_nist_scores(cfg.get_str("inputFile"))
+    if cfg.get_str("scoringMode", "decision") == "identification":
+        out = max_score_identification(lines)
+    else:
+        out = scoring_decisions(lines, cfg.get_float("decisionThreshold", 0.0))
+    write_nist_scores(cfg.get_str("outputFile"), out)
+    return out
+
+
+def fusion_main(cfg: Config):
+    files = read_simple_list(cfg.get_str("fusionList"))
+    weights = [float(w) for w in read_simple_list(cfg.get_str("weightsFile"))]
+    sets = [read_nist_scores(f) for f in files]
+    out = fuse_scores(sets, weights)
+    write_nist_scores(cfg.get_str("outputFile"), out)
+    return out
+
+
+def score_warp_main(cfg: Config):
+    lines = read_nist_scores(cfg.get_str("inputFile"))
+    scores = np.asarray([l.score for l in lines])
+    warped = score_warp(scores,
+                        target_mean=cfg.get_float("targetMean", 0.0),
+                        target_std=cfg.get_float("targetStd", 1.0),
+                        nb_bins=cfg.get_int("nbBins", 100))
+    out = [l.__class__(l.gender, l.model, l.decision, l.seg, float(s),
+                       begin=l.begin, end=l.end)
+           for l, s in zip(lines, warped)]
+    write_nist_scores(cfg.get_str("outputFile"), out)
+    return out
+
+
+def hist_main(cfg: Config):
+    lines = read_nist_scores(cfg.get_str("inputFile"))
+    hist, edges = histogram(np.asarray([l.score for l in lines]),
+                            cfg.get_int("nbBins", 100))
+    with open(cfg.get_str("outputFile"), "w") as f:
+        for h, lo, hi in zip(hist, edges[:-1], edges[1:]):
+            f.write(f"{lo:g} {hi:g} {h:g}\n")
+    return hist, edges
+
+
+def model_to_sv_main(cfg: Config):
+    names = resolve_list(cfg, "inputModelList") \
+        if cfg.exists("inputModelList") else [cfg.get_str("inputModelFilename")]
+    out = {}
+    for n in names:
+        gmm = GmmDiag.load(mixture_path(n, cfg))
+        sv = np.asarray(model_to_sv(gmm), np.float64)
+        if cfg.get_bool("normalizeSv", False):
+            # mean-offset/variance normalisation (ModelToSvMain.cpp:120)
+            sv = (sv - np.asarray(gmm.ubm_means).ravel()) if hasattr(
+                gmm, "ubm_means") else sv
+        write_matrix_file(os.path.join(cfg.get_str("vectorFilesPath", "./"),
+                                       n + cfg.get_str("vectorFilesExtension",
+                                                       ".vect")),
+                          sv[None, :])
+        out[n] = sv
+    return out
+
+
+def nap_sv_main(cfg: Config):
+    u = read_matrix_file(cfg.get_str("napMatrix")).astype(np.float32)
+    names = read_simple_list(cfg.get_str("inputVectorList"))
+    root = cfg.get_str("vectorFilesPath", "./")
+    ext = cfg.get_str("vectorFilesExtension", ".vect")
+    out = {}
+    for n in names:
+        v = read_matrix_file(os.path.join(root, n + ext)).astype(np.float32)
+        napped = np.asarray(nap_project_vectors(jnp.asarray(v),
+                                                jnp.asarray(u)), np.float64)
+        write_matrix_file(os.path.join(root, n + ".napped" + ext), napped)
+        out[n] = napped
+    return out
+
+
+def read_feat_main(cfg: Config):
+    ff = read_feature_file(
+        cfg.get_str("inputFeatureFilename"),
+        fmt=cfg.get_str("loadFeatureFileFormat", "SPRO4"),
+        big_endian=cfg.get_bool("bigEndian", False),
+        vect_size=cfg.get_int("loadFeatureFileVectSize", 0))
+    for row in ff.data:
+        print(" ".join(f"{v:g}" for v in row))
+    return ff
+
+
+def read_model_main(cfg: Config):
+    gmm = GmmDiag.load(mixture_path(cfg.get_str("inputModelFilename"), cfg))
+    print(f"MixtureGD distribCount={gmm.n_components} vectSize={gmm.dim}")
+    w = np.asarray(gmm.weights)
+    m = np.asarray(gmm.means)
+    ci = np.asarray(gmm.cov_inv)
+    for i in range(gmm.n_components):
+        print(f"distrib {i} weight={w[i]:g}")
+        print("  mean " + " ".join(f"{v:g}" for v in m[i]))
+        print("  covInv " + " ".join(f"{v:g}" for v in ci[i]))
+    return gmm
+
+
+def extract_params_main(cfg: Config):
+    from ..io.features import apply_mask
+    names = resolve_list(cfg, "inputFeatureFilename")
+    out = {}
+    for n in names:
+        fs, _ = load_features_and_mask([n], cfg)
+        data = fs.data
+        write_feature_file(
+            os.path.join(cfg.get_str("featureFilesPath", "./"),
+                         n + cfg.get_str("saveFeatureFileExtension", ".ext.prm")),
+            data, fmt=cfg.get_str("saveFeatureFileFormat", "SPRO4"))
+        out[n] = data
+    return out
+
+
+def poly_exp_main(cfg: Config):
+    names = resolve_list(cfg, "inputFeatureFilename")
+    out = {}
+    for n in names:
+        fs, mask = load_features_and_mask([n], cfg)
+        v = np.asarray(glds_expand_mean(jnp.asarray(fs.data),
+                                        jnp.asarray(mask)), np.float64)
+        write_matrix_file(os.path.join(cfg.get_str("vectorFilesPath", "./"),
+                                       n + ".exp.vect"), v[None, :])
+        out[n] = v
+    return out
+
+
+def gmm_tokenizer_main(cfg: Config):
+    gmm = GmmDiag.load(mixture_path(cfg.get_str("inputWorldFilename"), cfg))
+    names = resolve_list(cfg, "inputFeatureFilename")
+    out = {}
+    for n in names:
+        fs, mask = load_features_and_mask([n], cfg)
+        syms = gmm_tokenize(jnp.asarray(fs.data), gmm)
+        syms = syms[mask > 0]
+        path = os.path.join(cfg.get_str("symFilesPath", "./"), n + ".sym")
+        with open(path, "w") as f:
+            f.write(" ".join(str(int(s)) for s in syms) + "\n")
+        out[n] = syms
+    return out
+
+
+def bngram_main(cfg: Config):
+    syms = read_simple_list(cfg.get_str("inputSymFile"))
+    order = cfg.get_int("ngramOrder", 2)
+    counts = ngram_counts(syms, order)
+    with open(cfg.get_str("outputFile"), "w") as f:
+        for gram, c in counts.most_common():
+            f.write(" ".join(gram) + f" {c}\n")
+    return counts
+
+
+def sequence_decode_main(cfg: Config):
+    """Train per-class n-gram models from 'class symfile' lines, decode
+    test symbol files (SequenceExtractor + SequenceDecoder)."""
+    order = cfg.get_int("ngramOrder", 2)
+    train = read_ndx(cfg.get_str("trainList"))
+    models = {}
+    by_class: dict[str, list] = {}
+    for cls, files in train:
+        for fp in files:
+            by_class.setdefault(cls, []).append(read_simple_list(fp))
+    for cls, seqs in by_class.items():
+        models[cls] = NGramModel.train(seqs, order)
+    results = {}
+    for name in read_simple_list(cfg.get_str("testList")):
+        syms = read_simple_list(name)
+        best, scores = sequence_decode(syms, models)
+        results[name] = (best, scores)
+        print(f"{name} {best} " + " ".join(
+            f"{c}:{s:.4f}" for c, s in scores.items()))
+    return results
+
+
+def label_fusion_main(cfg: Config):
+    files = read_simple_list(cfg.get_str("labelFileList"))
+    seg_lists = [read_label_file(f) for f in files]
+    nframes = cfg.get_int("nbFrames")
+    out = fuse_label_files(
+        seg_lists, nframes,
+        frame_length=cfg.get_float("frameLength", 0.01),
+        mode=cfg.get_str("fusionMode", "union"),
+        label=cfg.get_str("labelOutputFrames", "speech"),
+        close_gap=cfg.get_int("closeGap", 0),
+        drop_short=cfg.get_int("dropShort", 0))
+    write_label_file(cfg.get_str("outputFile"), out)
+    return out
+
+
+def time_cluster_main(cfg: Config):
+    segs = read_label_file(cfg.get_str("inputFile"))
+    out = time_cluster_filter(
+        segs,
+        min_duration=cfg.get_float("minDuration", 0.0),
+        begin=cfg.get_float("begin") if cfg.exists("begin") else None,
+        end=cfg.get_float("end") if cfg.exists("end") else None,
+        labels=cfg.get_str("keepLabels").split(",")
+        if cfg.exists("keepLabels") else None)
+    write_label_file(cfg.get_str("outputFile"), out)
+    return out
+
+
+def svm_train_main(cfg: Config):
+    """Train one SVM per target: target supervector(s) vs cohort
+    (reference Svm tool, GmmSv configs)."""
+    root = cfg.get_str("vectorFilesPath", "./")
+    ext = cfg.get_str("vectorFilesExtension", ".vect")
+
+    def load(names):
+        return np.stack([read_matrix_file(os.path.join(root, n + ext)).ravel()
+                         for n in names]).astype(np.float32)
+
+    cohort = load(read_simple_list(cfg.get_str("backgroundList")))
+    out = {}
+    for target, files in read_ndx(cfg.get_str("targetIdList")):
+        tv = load(files if files else [target])
+        x = np.vstack([tv, cohort])
+        y = np.r_[np.ones(len(tv)), -np.ones(len(cohort))].astype(np.float32)
+        model = svm_train(
+            x, y,
+            c=cfg.get_float("C") if cfg.exists("C") else None,
+            target_penalty=cfg.get_float("targetPenalty")
+            if cfg.exists("targetPenalty") else None,
+            kind={0: "linear", 1: "poly", 2: "rbf"}.get(
+                cfg.get_int("kernelType", 0), "linear"))
+        np.savez(os.path.join(root, target + ".svm.npz"),
+                 support=model.support, alpha_y=model.alpha_y,
+                 bias=model.bias, kind=model.kind, degree=model.degree,
+                 gamma=model.gamma, coef0=model.coef0)
+        out[target] = model
+    return out
+
+
+def svm_predict_main(cfg: Config):
+    from ..io.nist import ScoreLine
+    root = cfg.get_str("vectorFilesPath", "./")
+    ext = cfg.get_str("vectorFilesExtension", ".vect")
+    results = []
+    for seg, models in read_ndx(cfg.get_str("ndxFilename")):
+        v = read_matrix_file(os.path.join(root, seg + ext)).ravel()
+        for m in models:
+            z = np.load(os.path.join(root, m + ".svm.npz"))
+            model = SvmModel(z["support"], z["alpha_y"], float(z["bias"]),
+                             str(z["kind"]), int(z["degree"]),
+                             float(z["gamma"]), float(z["coef0"]))
+            sc = float(np.asarray(model.decision(
+                jnp.asarray(v[None, :], jnp.float32)))[0])
+            results.append(ScoreLine(cfg.get_str("gender", "M"), m,
+                                     "1" if sc > 0 else "0", seg, sc))
+    write_nist_scores(cfg.get_str("outputFilename"), results)
+    return results
+
+
+MODES = {
+    "scoring": scoring_main, "fusion": fusion_main,
+    "scoreWarp": score_warp_main, "hist": hist_main,
+    "modelToSv": model_to_sv_main, "napSv": nap_sv_main,
+    "readFeatFile": read_feat_main, "readModel": read_model_main,
+    "extractParams": extract_params_main, "polyExp": poly_exp_main,
+    "gmmTokenizer": gmm_tokenizer_main, "bNgram": bngram_main,
+    "sequenceDecode": sequence_decode_main,
+    "labelFusion": label_fusion_main, "timeCluster": time_cluster_main,
+    "svmTrain": svm_train_main, "svmPredict": svm_predict_main,
+}
+
+
+def main(cfg: Config):
+    return MODES[cfg.get_str("utilMode")](cfg)
+
+
+if __name__ == "__main__":
+    main(Config.from_cli(sys.argv[1:]))
