@@ -1,9 +1,23 @@
 """ComputeTest: GMM-UBM LLR trial scoring CLI.
 
-Equivalent of reference ``LIA_SpkDet/ComputeTest`` plain mode
-(ComputeTest.cpp:90-224): per NDX line (test file × targets), top-K LLR
-scoring with worldDecime decimation, NIST-format output.  Segmental mode
-emits one LLR per segment.
+Equivalent of reference ``LIA_SpkDet/ComputeTest`` with all dispatch
+variants (ComputeTestMain.cpp:137-165):
+
+* plain (ComputeTest.cpp:90-224): per NDX line (test file × targets),
+  top-K LLR scoring with worldDecime decimation, NIST output; segmental
+  mode emits one LLR per segment;
+* dotProduct (cpp:228): supervector dot-product scoring against the
+  Σ⁻¹-normalised centered test statistics, optional NAP;
+* jfa (cpp:376) / lfa (cpp:574): session channel factor estimated on the
+  test stats, models compensated by U·x before GMM scoring;
+* nap (cpp:767): NAP projection of client mean supervectors before
+  scoring;
+* byLabel (cpp:916): one score per label cluster of the test file;
+* histo (cpp:1031): per-frame LLR histogram → entropy or robust-mean
+  score.
+
+Select with ``computeTestMode`` (plain|dotProduct|jfa|lfa|nap|byLabel|
+histo).
 """
 
 from __future__ import annotations
@@ -22,8 +36,59 @@ from ..io.nist import ScoreLine, write_nist_scores
 from .common import load_features_and_mask, mixture_path, setup_verbose
 
 
+def _load_jfa_model(cfg: Config, gmm: GmmDiag, lfa: bool):
+    """Build the channel-compensation model from matrix files."""
+    import jax.numpy as jnp2
+    from ..fa.jfa import JfaModel
+    from ..fa.lfa import lfa_model
+    from ..io.matrix import read_matrix_file
+    from .total_variability import matrix_out_path
+    k, d = gmm.means.shape
+    u = read_matrix_file(matrix_out_path(
+        cfg.get_str("eigenChannelMatrix", "EC"), cfg))
+    u = jnp2.asarray(u.reshape(u.shape[0], k, d), jnp2.float32)
+    if lfa:
+        return lfa_model(u, gmm, tau=cfg.get_float("regulationFactor", 16.0))
+    model = JfaModel.init(__import__("jax").random.key(0), 1, u.shape[0], gmm)
+    model = model.replace(u=u)
+    if cfg.exists("eigenVoiceMatrix"):
+        v = read_matrix_file(matrix_out_path(
+            cfg.get_str("eigenVoiceMatrix"), cfg))
+        model = model.replace(
+            v=jnp2.asarray(v.reshape(v.shape[0], k, d), jnp2.float32))
+    return model
+
+
+def _histo_score(llr_series: np.ndarray, score_type: str,
+                 nb_bins: int) -> float:
+    """ComputeTestHisto scoring (cpp:1031+): entropy of the per-frame LLR
+    histogram, or a histogram-trimmed robust mean."""
+    hist, edges = np.histogram(llr_series, bins=nb_bins, density=True)
+    widths = np.diff(edges)
+    if score_type == "entropy":
+        p = hist * widths
+        p = p[p > 0]
+        return float(-np.sum(p * np.log(p)))
+    # robust mean: average over the central 90% of the distribution
+    lo, hi = np.percentile(llr_series, [5, 95])
+    sel = (llr_series >= lo) & (llr_series <= hi)
+    return float(llr_series[sel].mean()) if sel.any() \
+        else float(llr_series.mean())
+
+
 def main(cfg: Config) -> list[ScoreLine]:
     verbose = setup_verbose(cfg)
+    mode = cfg.get_str("computeTestMode", "plain")
+    if mode == "dotProduct":
+        return dot_product_main(cfg)
+    if mode in ("jfa", "lfa"):
+        return channel_comp_main(cfg, lfa=(mode == "lfa"))
+    if mode == "nap":
+        return nap_main(cfg)
+    if mode == "byLabel":
+        return by_label_main(cfg)
+    if mode == "histo":
+        return histo_main(cfg)
     ndx = read_ndx(cfg.get_str("ndxFilename"))
     world = GmmDiag.load(mixture_path(cfg.get_str("inputWorldFilename"), cfg))
     gender = cfg.get_str("gender", "M")
@@ -76,6 +141,188 @@ def main(cfg: Config) -> list[ScoreLine]:
             print(f"test seg[{test_name}] scored vs {model_names}")
     write_nist_scores(cfg.get_str("outputFilename"), results)
     return results
+
+
+def _trial_context(cfg: Config):
+    """Common per-variant plumbing: world, ndx, output params."""
+    world = GmmDiag.load(mixture_path(cfg.get_str("inputWorldFilename"), cfg))
+    ndx = read_ndx(cfg.get_str("ndxFilename"))
+    return world, ndx, cfg.get_str("gender", "M"), \
+        cfg.get_float("decisionThreshold", 0.0)
+
+
+def _write(cfg: Config, results: list[ScoreLine]) -> list[ScoreLine]:
+    write_nist_scores(cfg.get_str("outputFilename"), results)
+    return results
+
+
+def dot_product_main(cfg: Config) -> list[ScoreLine]:
+    """Supervector dot-product scoring (ComputeTestDotProduct, cpp:228):
+    score = <Σ⁻¹·(sv_client − sv_world), F̄_test>/n_frames, optional NAP
+    on the client offset."""
+    import jax.numpy as jnp2
+    from ..backend.supervector import model_to_sv, project_on_subspace
+    from ..fa.stats import accumulate_bw_stats
+    from ..io.matrix import read_matrix_file
+    world, ndx, gender, threshold = _trial_context(cfg)
+    nap_u = None
+    if cfg.exists("napMatrix"):
+        nap_u = jnp2.asarray(read_matrix_file(cfg.get_str("napMatrix")),
+                             jnp2.float32)
+    results = []
+    cache: dict[str, GmmDiag] = {}
+    for test_name, model_names in ndx:
+        fs, mask = load_features_and_mask([test_name], cfg)
+        n, f = accumulate_bw_stats(jnp.asarray(fs.data), jnp.asarray(mask),
+                                   world)
+        fbar = (f - n[:, None] * world.means) * world.cov_inv  # Σ⁻¹·F̄ (K,D)
+        frames = float(jnp.sum(n))
+        for mn in model_names:
+            if mn not in cache:
+                cache[mn] = GmmDiag.load(mixture_path(mn, cfg))
+            off = model_to_sv(cache[mn]) - model_to_sv(world)
+            if nap_u is not None:
+                off = off - project_on_subspace(off[None, :], nap_u)[0]
+            sc = float(jnp.vdot(off, fbar.reshape(-1)) / max(frames, 1e-6))
+            results.append(ScoreLine(gender, mn,
+                                     "1" if sc > threshold else "0",
+                                     test_name, sc))
+    return _write(cfg, results)
+
+
+def channel_comp_main(cfg: Config, lfa: bool) -> list[ScoreLine]:
+    """JFA/LFA channel-compensated GMM scoring (ComputeTestJFA cpp:376,
+    ComputeTestLFA cpp:574): estimate the test session's channel factor,
+    shift world+clients by U·x, then plain top-K LLR."""
+    from ..fa.lfa import compensate_model, estimate_channel
+    from ..fa.stats import BwStats, accumulate_bw_stats
+    world, ndx, gender, threshold = _trial_context(cfg)
+    model = _load_jfa_model(cfg, world, lfa)
+    top_k = cfg.get_int("topDistribsCount", 10)
+    results = []
+    cache: dict[str, GmmDiag] = {}
+    for test_name, model_names in ndx:
+        fs, mask = load_features_and_mask([test_name], cfg)
+        x = jnp.asarray(fs.data)
+        w = jnp.asarray(mask)
+        n, f = accumulate_bw_stats(x, w, world)
+        x_h = estimate_channel(BwStats(n=n[None], f=f[None]), model)[0]
+        world_c = compensate_model(world, model, x_h)
+        clients = []
+        for mn in model_names:
+            if mn not in cache:
+                cache[mn] = GmmDiag.load(mixture_path(mn, cfg))
+            clients.append(compensate_model(cache[mn], model, x_h))
+        llr = np.asarray(compute_test_llr(
+            x, w, world_c, stack_gmms(clients),
+            top_k=min(top_k, world.n_components)))
+        for mn, sc in zip(model_names, llr):
+            results.append(ScoreLine(gender, mn,
+                                     "1" if sc > threshold else "0",
+                                     test_name, float(sc)))
+    return _write(cfg, results)
+
+
+def nap_main(cfg: Config) -> list[ScoreLine]:
+    """NAP-compensated GMM scoring (ComputeTestNAP, cpp:767): project the
+    nuisance subspace out of client mean supervectors, then plain LLR."""
+    from ..backend.supervector import compute_nap
+    from ..io.matrix import read_matrix_file
+    world, ndx, gender, threshold = _trial_context(cfg)
+    u = jnp.asarray(read_matrix_file(cfg.get_str("napMatrix")), jnp.float32)
+    top_k = cfg.get_int("topDistribsCount", 10)
+    results = []
+    cache: dict[str, GmmDiag] = {}
+    for test_name, model_names in ndx:
+        fs, mask = load_features_and_mask([test_name], cfg)
+        sel = np.nonzero(mask > 0)[0]
+        x = jnp.asarray(fs.data[sel])
+        w = jnp.ones(sel.shape[0], jnp.float32)
+        clients = []
+        for mn in model_names:
+            if mn not in cache:
+                cache[mn] = compute_nap(GmmDiag.load(mixture_path(mn, cfg)), u)
+            clients.append(cache[mn])
+        llr = np.asarray(compute_test_llr(
+            x, w, world, stack_gmms(clients),
+            top_k=min(top_k, world.n_components)))
+        for mn, sc in zip(model_names, llr):
+            results.append(ScoreLine(gender, mn,
+                                     "1" if sc > threshold else "0",
+                                     test_name, float(sc)))
+    return _write(cfg, results)
+
+
+def by_label_main(cfg: Config) -> list[ScoreLine]:
+    """Per-label scoring (ComputeTestByLabel, cpp:916): one LLR per label
+    cluster of the test file."""
+    from ..io.labels import SegmentStore
+    from .common import label_path
+    import os as _os
+    world, ndx, gender, threshold = _trial_context(cfg)
+    top_k = cfg.get_int("topDistribsCount", 10)
+    frame_length = cfg.get_float("frameLength", 0.01)
+    results = []
+    cache: dict[str, GmmDiag] = {}
+    for test_name, model_names in ndx:
+        from ..io.features import server_from_config
+        fs = server_from_config([test_name], cfg)
+        lp = label_path(test_name, cfg)
+        store = SegmentStore.from_label_file(
+            lp if _os.path.isfile(lp) else None, fs.nframes, frame_length,
+            add_default_label=True,
+            default_label=cfg.get_str("defaultLabel", "speech"))
+        clients = []
+        for mn in model_names:
+            if mn not in cache:
+                cache[mn] = GmmDiag.load(mixture_path(mn, cfg))
+            clients.append(cache[mn])
+        stacked = stack_gmms(clients)
+        for label in store.labels():
+            mask = store.mask(label, fs.nframes)
+            if not mask.any():
+                continue
+            sel = np.nonzero(mask)[0]
+            x = jnp.asarray(fs.data[sel])
+            w = jnp.ones(sel.shape[0], jnp.float32)
+            llr = np.asarray(compute_test_llr(
+                x, w, world, stacked, top_k=min(top_k, world.n_components)))
+            for mn, sc in zip(model_names, llr):
+                results.append(ScoreLine(
+                    gender, f"{mn}", "1" if sc > threshold else "0",
+                    f"{test_name}.{label}", float(sc)))
+    return _write(cfg, results)
+
+
+def histo_main(cfg: Config) -> list[ScoreLine]:
+    """Histogram scoring (ComputeTestHisto, cpp:1031): per-frame LLR
+    series → entropy or robust mean."""
+    world, ndx, gender, threshold = _trial_context(cfg)
+    top_k = cfg.get_int("topDistribsCount", 10)
+    nb_bins = cfg.get_int("nbBins", 30)
+    score_type = cfg.get_str("scoreType", "entropy")
+    results = []
+    cache: dict[str, GmmDiag] = {}
+    for test_name, model_names in ndx:
+        fs, mask = load_features_and_mask([test_name], cfg)
+        sel = np.nonzero(mask > 0)[0]
+        x = jnp.asarray(fs.data[sel])
+        groups = jnp.arange(sel.shape[0], dtype=jnp.int32)
+        clients = []
+        for mn in model_names:
+            if mn not in cache:
+                cache[mn] = GmmDiag.load(mixture_path(mn, cfg))
+            clients.append(cache[mn])
+        world_llk, client_llk = top_k_llk(
+            x, world, stack_gmms(clients), groups,
+            top_k=min(top_k, world.n_components))
+        llr_series = np.asarray(client_llk) - np.asarray(world_llk)[None, :]
+        for i, mn in enumerate(model_names):
+            sc = _histo_score(llr_series[i], score_type, nb_bins)
+            results.append(ScoreLine(gender, mn,
+                                     "1" if sc > threshold else "0",
+                                     test_name, sc))
+    return _write(cfg, results)
 
 
 if __name__ == "__main__":
