@@ -189,6 +189,17 @@ def mixture_init(
     )
 
 
+def reduce_model(gmm: GmmDiag, target_count: int) -> GmmDiag:
+    """Component-number reduction: keep the heaviest components and
+    renormalise (reference selectComponent/reduceModel,
+    TrainTools.cpp:175-222; componentReduction/targetMixtureDistribCount
+    config keys)."""
+    idx = jnp.argsort(-gmm.weights)[:target_count]
+    w = gmm.weights[idx]
+    return GmmDiag(weights=w / jnp.sum(w), means=gmm.means[idx],
+                   cov_inv=gmm.cov_inv[idx])
+
+
 # -- the training loop --------------------------------------------------------
 
 def train_model(
@@ -229,4 +240,48 @@ def train_model(
                   f"ceil={ceil:.3f}")
         gmm = m_step(stats)
         gmm = variance_control(gmm, floor, ceil, gcov)
+    if cfg.component_reduction and cfg.target_distrib_count > 0:
+        gmm = reduce_model(gmm, cfg.target_distrib_count)
+    return gmm
+
+
+def train_model_streams(
+    key: jax.Array,
+    streams: list[tuple[jax.Array, jax.Array]],
+    stream_weights: list[float],
+    init: GmmDiag,
+    cfg: TrainCfg,
+    chunk: int = 4096,
+    verbose: bool = False,
+) -> GmmDiag:
+    """Multi-stream weighted EM — reference trainModelStream
+    (TrainTools.cpp:1030-1110): per iteration each stream contributes a
+    bagged-subsampled stat accumulator scaled by its stream weight before
+    the merge (stream weights balance heterogeneous data sources)."""
+    all_x = jnp.concatenate([x for x, _ in streams])
+    all_w = jnp.concatenate([w for _, w in streams])
+    _, gcov = global_mean_cov(all_x, all_w)
+    gmm = init
+    k, d = init.means.shape
+    for it in range(cfg.nb_train_it):
+        floor = schedule_value(cfg.init_variance_flooring,
+                               cfg.final_variance_flooring,
+                               cfg.nb_train_it, it)
+        ceil = schedule_value(cfg.init_variance_ceiling,
+                              cfg.final_variance_ceiling,
+                              cfg.nb_train_it, it)
+        merged = EmStats.zeros(k, d)
+        for (x, w), sw in zip(streams, stream_weights):
+            key, sub = jax.random.split(key)
+            mask = bagged_frame_mask(sub, w, cfg.bagged_frame_probability,
+                                     cfg.bagged_minimal_length,
+                                     cfg.bagged_maximal_length)
+            st = em_stats_chunked(x, mask, gmm, chunk=chunk)
+            merged = merged.merge(jax.tree.map(lambda a: a * sw, st))
+        if verbose:
+            print(f"stream-it {it}: meanLLK={float(merged.mean_llk()):.5f}")
+        gmm = m_step(merged)
+        gmm = variance_control(gmm, floor, ceil, gcov)
+    if cfg.component_reduction and cfg.target_distrib_count > 0:
+        gmm = reduce_model(gmm, cfg.target_distrib_count)
     return gmm

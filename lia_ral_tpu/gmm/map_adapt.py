@@ -102,6 +102,33 @@ def map_adapt(world: GmmDiag, em_model: GmmDiag, frame_count: jax.Array,
     raise ValueError(f"unknown MAP method {cfg.method}")
 
 
+def compute_mllr(world: GmmDiag, em_model: GmmDiag,
+                 frame_count: jax.Array) -> tuple[GmmDiag, jax.Array]:
+    """Global MLLR mean transform μ' = W·[1, μ] (reference computeMLLR,
+    TrainTools.cpp:788-866).
+
+    The reference's per-dimension G-matrix loop becomes one batched
+    einsum + batched solve over the feature dimension.
+    Returns (adapted model, W (D, D+1))."""
+    k, d = world.means.shape
+    occ = em_model.weights * frame_count                    # (K,)
+    xi = jnp.concatenate([jnp.ones((k, 1), world.means.dtype),
+                          world.means], axis=1)             # (K, D+1)
+    cov = 1.0 / world.cov_inv                               # (K, D)
+    inv_cov = world.cov_inv                                 # 1/cov (K,D)
+    # Z[p,q] = Σ_j occ_j·μ̂_jp·ξ_jq / cov_jp
+    z = jnp.einsum("j,jp,jq->pq", occ, em_model.means * inv_cov, xi,
+                   preferred_element_type=jnp.float32)      # (D, D+1)
+    # G[p] = Σ_j (occ_j/cov_jp)·ξ_j·ξ_jᵀ
+    g = jnp.einsum("j,jp,jq,jr->pqr", occ, inv_cov, xi, xi,
+                   preferred_element_type=jnp.float32)      # (D, D+1, D+1)
+    g = g + 1e-6 * jnp.eye(d + 1, dtype=g.dtype)[None]
+    w_mat = jnp.linalg.solve(g, z[..., None])[..., 0]       # (D, D+1)
+    new_means = w_mat[:, 0][None, :] + world.means @ w_mat[:, 1:].T
+    del cov
+    return world.replace(means=new_means), w_mat
+
+
 def adapt_model(
     key: jax.Array,
     x: jax.Array,
@@ -121,5 +148,8 @@ def adapt_model(
                                  cfg.bagged_maximal_length)
         stats = em_stats_chunked(x, mask, client, chunk=chunk)
         em_model = m_step(stats)
-        client = map_adapt(world, em_model, stats.count, cfg)
+        if cfg.method == "MLLR":
+            client, _ = compute_mllr(world, em_model, stats.count)
+        else:
+            client = map_adapt(world, em_model, stats.count, cfg)
     return client

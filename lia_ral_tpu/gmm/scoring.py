@@ -57,6 +57,7 @@ def top_k_llk(
     ``groups[t]`` = frame whose DETERMINE pass fixes the top set for t
     (groups = arange(N) → determine every frame, worldDecime=1).
     """
+    top_k = min(top_k, world.n_components)
     wld = weighted_logdens(x, world)                       # (N,K)
     full_llk = jax.nn.logsumexp(wld, axis=-1)              # (N,)
     # top components at the determine frames (gathered per frame via groups)

@@ -117,6 +117,24 @@ def main(cfg: Config) -> list[ScoreLine]:
         seg_lengths = [s.frames(frame_length)[1] - s.frames(frame_length)[0]
                        for s in segs]
         groups = jnp.asarray(decime_groups(seg_lengths, world_decime))
+        if cfg.get_bool("windowLLR", False):
+            # windowed LLR mode (reference WindowLLR, ComputeTest.cpp:
+            # 168-192): one score per sliding window of frames
+            from ..backend.unsupervised import windowed_llr
+            window = cfg.get_int("windowLLRSize", 100)
+            step = cfg.get_int("windowLLRDec", window)
+            world_llk, client_llk = top_k_llk(x, world, stacked, groups,
+                                              top_k=top_k)
+            llr_series = np.asarray(client_llk) - np.asarray(world_llk)[None]
+            for i, mn in enumerate(model_names):
+                starts, means = windowed_llr(llr_series[i], window, step)
+                for st_, sc in zip(starts, means):
+                    results.append(ScoreLine(
+                        gender, mn, "1" if sc > threshold else "0",
+                        test_name, float(sc),
+                        begin=float(st_) * frame_length,
+                        end=float(st_ + window) * frame_length))
+            continue
         if segmental:
             world_llk, client_llk = top_k_llk(x, world, stacked, groups,
                                               top_k=top_k)

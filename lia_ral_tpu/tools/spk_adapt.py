@@ -1,0 +1,74 @@
+"""SpkAdapt: unsupervised speaker adaptation over a test sequence.
+
+Equivalent of reference ``LIA_SpkDet/SpkAdapt`` (TrainTargetAdapt,
+SpkAdapt.cpp:90): per target — enroll from the train list, then walk the
+test-trial sequence; each trial is scored, the score is mapped to a
+target posterior by WMAP, and the model is incrementally MAP-updated with
+the trial's frames weighted by that posterior.  Scores (before
+adaptation) are written in NIST format.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..backend.unsupervised import UnsupervisedAdapter, wmap
+from ..config import Config
+from ..gmm.map_adapt import MapCfg
+from ..gmm.model import GmmDiag
+from ..io.lists import read_ndx
+from ..io.nist import ScoreLine, write_nist_scores
+from .common import load_features_and_mask, mixture_path, setup_verbose
+
+
+def main(cfg: Config) -> list[ScoreLine]:
+    verbose = setup_verbose(cfg)
+    world = GmmDiag.load(mixture_path(cfg.get_str("inputWorldFilename"), cfg))
+    mcfg = MapCfg.from_config(cfg) if cfg.exists("MAPAlgo") else \
+        MapCfg(method="MAPOccDep", mean_adapt=True, mean_r=14.0)
+    tar_mean = cfg.get_float("WMAPtarMean", 1.0)
+    tar_std = cfg.get_float("WMAPtarStd", 1.0)
+    imp_mean = cfg.get_float("WMAPimpMean", -1.0)
+    imp_std = cfg.get_float("WMAPimpStd", 1.0)
+    prior = cfg.get_float("WMAPtarPrior", 0.1)
+    gender = cfg.get_str("gender", "M")
+    results: list[ScoreLine] = []
+    # targetIdList: "target trainFile+"; ndxFilename: "testSeg target+"
+    train = dict(read_ndx(cfg.get_str("targetIdList")))
+    trials = read_ndx(cfg.get_str("ndxFilename"))
+    adapters: dict[str, UnsupervisedAdapter] = {}
+    for target, files in train.items():
+        fs, mask = load_features_and_mask(files if files else [target], cfg)
+        ad = UnsupervisedAdapter(world=world, map_cfg=mcfg)
+        ad.enroll(jnp.asarray(fs.data), jnp.asarray(mask))
+        adapters[target] = ad
+    for test_name, targets in trials:
+        fs, mask = load_features_and_mask([test_name], cfg)
+        x = jnp.asarray(fs.data)
+        w = jnp.asarray(mask)
+        for target in targets:
+            ad = adapters[target]
+            score = ad.score(x, w)
+            results.append(ScoreLine(gender, target,
+                                     "1" if score > 0 else "0",
+                                     test_name, score))
+            weight = float(wmap(np.asarray([score]), tar_mean, tar_std,
+                                imp_mean, imp_std, prior)[0])
+            ad.process_trial(x, w, weight)
+            if verbose:
+                print(f"[{target}×{test_name}] score={score:.4f} "
+                      f"wmap={weight:.3f}")
+    # save the adapted models
+    for target, ad in adapters.items():
+        ad.model.save(mixture_path(target, cfg, save=True),
+                      fmt=cfg.get_str("saveMixtureFileFormat", "RAW"),
+                      model_id=target)
+    write_nist_scores(cfg.get_str("outputFilename"), results)
+    return results
+
+
+if __name__ == "__main__":
+    main(Config.from_cli(sys.argv[1:]))
