@@ -36,8 +36,7 @@ BASELINE_AUDIO_S_PER_S = 2000.0
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    from lia_ral_tpu.gmm.em import m_step
-    from lia_ral_tpu.gmm.kernels import em_stats_chunked
+    from lia_ral_tpu.gmm.em import default_stats_fn, m_step
     from lia_ral_tpu.gmm.model import GmmDiag
 
     rng = np.random.default_rng(0)
@@ -47,9 +46,11 @@ def main() -> None:
                          rng.standard_normal((K, D)).astype(np.float32),
                          (rng.random((K, D)) + 0.5).astype(np.float32))
 
+    stats_fn = default_stats_fn(chunk=CHUNK)
+
     @jax.jit
     def em_iteration(x, w, gmm):
-        stats = em_stats_chunked(x, w, gmm, chunk=CHUNK)
+        stats = stats_fn(x, w, gmm)
         return m_step(stats), stats.llk
 
     # warmup: forces (remote) compile + one real execution
