@@ -11,10 +11,12 @@ from .mesh import make_mesh, device_count
 from .sharding import (
     shard_frames,
     sharded_em_stats,
+    sharded_em_stats_2d,
     sharded_stats_fn,
 )
 
 __all__ = [
     "make_mesh", "device_count",
-    "shard_frames", "sharded_em_stats", "sharded_stats_fn",
+    "shard_frames", "sharded_em_stats", "sharded_em_stats_2d",
+    "sharded_stats_fn",
 ]

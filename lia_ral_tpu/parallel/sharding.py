@@ -69,6 +69,86 @@ def sharded_stats_fn(mesh: Mesh, chunk: int = 4096):
     return fn
 
 
+def sharded_em_stats_2d(
+    mesh: Mesh,
+    x: jax.Array,
+    w: jax.Array,
+    gmm: GmmDiag,
+    chunk: int = 4096,
+) -> EmStats:
+    """2-D sharded stats: frames over "data" AND components over "model".
+
+    For UBMs/T-matrices beyond one chip's HBM (SURVEY.md §2.6 "model
+    sharding"): each device holds K/m components; the posterior
+    normalisation needs the global logsumexp over K, realised as
+    pmax/psum collectives over the "model" axis before the local stat
+    matmuls.  Outputs stay component-sharded; frame-axis reduction is a
+    psum over "data".
+    """
+    from ..gmm.kernels import weighted_logdens
+
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    k, d = gmm.means.shape
+    assert k % n_model == 0, (k, n_model)
+    x, w = shard_frames(x, w, n_data)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"),
+                  GmmDiag(weights=P("model"), means=P("model"),
+                          cov_inv=P("model"))),
+        out_specs=EmStats(n=P("model"), sum_x=P("model"), sum_xx=P("model"),
+                          llk=P(), count=P()),
+    )
+    def _stats(xs, ws, g):
+        nloc = xs.shape[0]
+        pad = (-nloc) % chunk
+        xs = jnp.concatenate([xs, jnp.zeros((pad, d), xs.dtype)])
+        ws = jnp.concatenate([ws, jnp.zeros((pad,), ws.dtype)])
+
+        def body(acc, blk):
+            xb, wb = blk
+            ld = weighted_logdens(xb, g)                   # (B, K/m)
+            m_loc = jnp.max(ld, axis=-1)
+            m_glob = jax.lax.pmax(m_loc, axis_name="model")
+            s_loc = jnp.sum(jnp.exp(ld - m_glob[:, None]), axis=-1)
+            s_glob = jax.lax.psum(s_loc, axis_name="model")
+            llk = jnp.log(s_glob) + m_glob                 # (B,)
+            post = jnp.exp(ld - llk[:, None])              # local slice of γ
+            pw = post * wb[:, None]
+            return EmStats(
+                n=acc.n + jnp.sum(pw, axis=0),
+                sum_x=acc.sum_x + jnp.dot(
+                    pw.T, xb, preferred_element_type=jnp.float32),
+                sum_xx=acc.sum_xx + jnp.dot(
+                    pw.T, xb * xb, preferred_element_type=jnp.float32),
+                llk=acc.llk + jnp.sum(llk * wb) / n_model,
+                count=acc.count + jnp.sum(wb) / n_model,
+            ), None
+
+        # varying over BOTH mesh axes (data via ws, model via g)
+        zero = jnp.sum(ws[:1]) * 0.0 + jnp.sum(g.weights[:1]) * 0.0
+        init = jax.tree.map(
+            lambda z: z + zero.astype(z.dtype),
+            EmStats.zeros(k // n_model, d, xs.dtype))
+        acc, _ = jax.lax.scan(body, init,
+                              (xs.reshape(-1, chunk, d),
+                               ws.reshape(-1, chunk)))
+        # frame-axis merge over "data"; llk/count also merged over "model"
+        # (pre-divided above so the double psum is exact)
+        return EmStats(
+                n=jax.lax.psum(acc.n, "data"),
+                sum_x=jax.lax.psum(acc.sum_x, "data"),
+                sum_xx=jax.lax.psum(acc.sum_xx, "data"),
+                llk=jax.lax.psum(acc.llk, ("data", "model")),
+                count=jax.lax.psum(acc.count, ("data", "model")),
+            )
+
+    return _stats(x, w, gmm)
+
+
 def replicate(mesh: Mesh, tree):
     """Place a pytree fully replicated on the mesh."""
     sharding = NamedSharding(mesh, P())

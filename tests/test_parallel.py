@@ -62,3 +62,20 @@ def test_train_model_with_sharded_stats(rng):
     np.testing.assert_allclose(np.asarray(serial.means),
                                np.asarray(sharded.means),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_2d_sharded_equals_serial(rng):
+    """data x model 2-D sharding == serial stats (components sharded,
+    softmax normalisation via cross-axis collectives)."""
+    from lia_ral_tpu.parallel import make_mesh, sharded_em_stats_2d
+    from lia_ral_tpu.gmm import em_stats_chunked
+    k, d, n = 8, 5, 1000
+    gmm = random_gmm(rng, k, d)
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    w = jnp.asarray(rng.random(n), jnp.float32)
+    mesh = make_mesh(n_data=4, n_model=2)
+    serial = em_stats_chunked(x, w, gmm, chunk=128)
+    shard = sharded_em_stats_2d(mesh, x, w, gmm, chunk=128)
+    for a, b in zip(jax.tree.leaves(serial), jax.tree.leaves(shard)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
