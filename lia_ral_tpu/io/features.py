@@ -128,13 +128,34 @@ def read_feature_file(
     fmt: str = "SPRO4",
     big_endian: bool = False,
     vect_size: int = 0,
+    use_native: bool = True,
 ) -> FeatureFile:
     """Read one feature file.  ``fmt`` ∈ {SPRO3, SPRO4, RAW}.
 
     The reference's own fixtures are labelled inconsistently (TrainWorld.cfg
     declares SPRO4 for a SPRO3-headered file), so SPRO3/SPRO4 fall back to
     each other when the declared parse fails.
+
+    The payload parse goes through the native liaio library when built
+    (the reference's runtime is native C++; see native/liaio.cpp), with
+    the pure-Python reader as fallback.
     """
+    fmt_u = fmt.upper()
+    if use_native:
+        from .native import read_features_native
+        order = ([fmt_u] if fmt_u == "RAW"
+                 else (["SPRO3", "SPRO4"] if fmt_u == "SPRO3"
+                       else ["SPRO4", "SPRO3"]))
+        for f_try in order:
+            data = read_features_native(path, f_try, big_endian, vect_size)
+            if data is not None:
+                kind, flag = "FBCEPSTRA", 0
+                if f_try == "SPRO3":
+                    with open(path, "rb") as fh:
+                        k_id, _, _, flag = struct.unpack(
+                            (">" if big_endian else "<") + "4I", fh.read(16))
+                    kind = SPRO3_KINDS.get(k_id, "OTHER")
+                return FeatureFile(data, kind=kind, flag=flag)
     with open(path, "rb") as f:
         raw = f.read()
     fmt = fmt.upper()

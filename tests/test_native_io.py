@@ -1,0 +1,54 @@
+"""Native liaio library: build, parity with the Python readers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lia_ral_tpu.io.features import read_feature_file, write_feature_file
+from lia_ral_tpu.io.native import (apply_mask_native, available,
+                                   read_features_native)
+from tests.conftest import REFERENCE, requires_reference
+
+pytestmark = pytest.mark.skipif(not available(),
+                                reason="native toolchain unavailable")
+
+
+def test_native_matches_python(tmp_path, rng):
+    data = rng.standard_normal((37, 13)).astype(np.float32)
+    for fmt in ("SPRO3", "SPRO4", "RAW"):
+        p = str(tmp_path / f"x_{fmt}.prm")
+        write_feature_file(p, data, fmt=fmt)
+        nat = read_features_native(p, fmt, vect_size=13)
+        assert nat is not None, fmt
+        np.testing.assert_array_equal(nat, data)
+        # full reader (native path on) == python path
+        py = read_feature_file(p, fmt=fmt, vect_size=13, use_native=False)
+        full = read_feature_file(p, fmt=fmt, vect_size=13, use_native=True)
+        np.testing.assert_array_equal(full.data, py.data)
+
+
+@requires_reference
+def test_native_reads_reference_fixture():
+    p = os.path.join(REFERENCE, "LIA_SpkDet/TrainWorld/test/test1.prm")
+    nat = read_features_native(p, "SPRO3")
+    assert nat is not None and nat.shape == (50, 34)
+    py = read_feature_file(p, fmt="SPRO3", use_native=False)
+    np.testing.assert_array_equal(nat, py.data)
+    ff = read_feature_file(p, fmt="SPRO3", use_native=True)
+    assert ff.kind == "FBCEPSTRA" and ff.flag == 9
+
+
+def test_native_mask(rng):
+    data = rng.standard_normal((20, 10)).astype(np.float32)
+    idx = [0, 2, 5, 9]
+    nat = apply_mask_native(data, idx)
+    assert nat is not None
+    np.testing.assert_array_equal(nat, data[:, idx])
+
+
+def test_native_bad_file_falls_back(tmp_path):
+    p = str(tmp_path / "garbage.prm")
+    with open(p, "wb") as f:
+        f.write(b"\x01\x02\x03")
+    assert read_features_native(p, "SPRO3") is None
