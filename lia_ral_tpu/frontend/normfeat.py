@@ -94,6 +94,24 @@ def cmvn_window(x: jax.Array, w: jax.Array, window: int,
     return (x - mean) / jnp.sqrt(var)
 
 
+def feature_mapping(x: jax.Array, channel_gmm, reference_gmm) -> jax.Array:
+    """Feature mapping (reference featMap, NormFeat.cpp:583 and
+    GeneralTools featureMapping h:281-286): map each frame through its
+    winning component of the channel-dependent GMM onto the
+    channel-independent reference GMM:
+        x' = μ_ref,k* + σ_ref,k*/σ_ch,k* · (x − μ_ch,k*).
+    """
+    from ..gmm.kernels import weighted_logdens
+    ld = weighted_logdens(x, channel_gmm)
+    k_star = jnp.argmax(ld, axis=-1)                       # (N,)
+    mu_ch = channel_gmm.means[k_star]
+    mu_ref = reference_gmm.means[k_star]
+    # σ_ref/σ_ch = sqrt(covInv_ch / covInv_ref)
+    scale = jnp.sqrt(channel_gmm.cov_inv[k_star]
+                     / reference_gmm.cov_inv[k_star])
+    return mu_ref + scale * (x - mu_ch)
+
+
 @functools.partial(jax.jit, static_argnames=("window", "chunk"))
 def feature_warping(x: jax.Array, w: jax.Array, window: int = 301,
                     chunk: int = 256) -> jax.Array:

@@ -56,6 +56,39 @@ def main(cfg: Config) -> dict[str, np.ndarray]:
                 y = cmvn_global(x, w, cms_only=cms_only, var_only=var_only)
         elif mode == "featWarp":
             y = feature_warping(x, w, window if window % 2 == 1 else window + 1)
+        elif mode == "featMap":
+            # feature mapping onto a channel-independent root model
+            # (reference featMap, NormFeat.cpp:583)
+            from ..frontend.normfeat import feature_mapping
+            from ..gmm.model import GmmDiag
+            from .common import mixture_path
+            channel = GmmDiag.load(mixture_path(
+                cfg.get_str("channelMixture"), cfg))
+            root = GmmDiag.load(mixture_path(
+                cfg.get_str("inputWorldFilename"), cfg))
+            y = feature_mapping(x, channel, root)
+        elif mode in ("featFA", "featLFA"):
+            # feature-domain channel compensation (reference normFeatFA/
+            # normFeatLFA, NormFeat.cpp:793/856)
+            import numpy as _np
+            from ..fa.lfa import (compensate_features, estimate_channel,
+                                  lfa_model)
+            from ..fa.stats import BwStats, accumulate_bw_stats
+            from ..gmm.model import GmmDiag
+            from ..io.matrix import read_matrix_file
+            from .common import mixture_path
+            world = GmmDiag.load(mixture_path(
+                cfg.get_str("inputWorldFilename"), cfg))
+            u = read_matrix_file(os.path.join(
+                cfg.get_str("matrixFilesPath", "./"),
+                cfg.get_str("eigenChannelMatrix")
+                + cfg.get_str("loadMatrixFilesExtension", ".matx")))
+            k_, d_ = world.means.shape
+            model = lfa_model(u.reshape(u.shape[0], k_, d_), world,
+                              tau=cfg.get_float("regulationFactor", 16.0))
+            n_, f_ = accumulate_bw_stats(x, w, world)
+            x_h = estimate_channel(BwStats(n=n_[None], f=f_[None]), model)[0]
+            y = compensate_features(x, world, model, x_h)
         elif mode == "info":
             mean = np.average(fs.data, axis=0, weights=mask)
             var = np.average((fs.data - mean) ** 2, axis=0, weights=mask)

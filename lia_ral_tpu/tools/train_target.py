@@ -20,12 +20,32 @@ from .common import load_features_and_mask, mixture_path, setup_verbose
 from ..io.lists import read_ndx
 
 
+def _load_fa_model(cfg: Config, world: GmmDiag):
+    """Channel model for the TrainTargetFA variant."""
+    import os
+    from ..fa.lfa import lfa_model
+    from ..io.matrix import read_matrix_file
+    u = read_matrix_file(os.path.join(
+        cfg.get_str("matrixFilesPath", "./"),
+        cfg.get_str("eigenChannelMatrix")
+        + cfg.get_str("loadMatrixFilesExtension", ".matx")))
+    k, d = world.means.shape
+    return lfa_model(u.reshape(u.shape[0], k, d), world,
+                     tau=cfg.get_float("regulationFactor", 16.0))
+
+
 def main(cfg: Config) -> dict[str, GmmDiag]:
     verbose = setup_verbose(cfg)
     ndx_path = cfg.get_str("targetIdList")
     world = GmmDiag.load(mixture_path(cfg.get_str("inputWorldFilename"), cfg))
     mcfg = MapCfg.from_config(cfg)
     seed = cfg.get_int("randomSeed", 0)
+    # TrainTargetFA variant (TrainTarget.cpp:279-420): estimate the
+    # session channel factor on the client data and remove U·x from the
+    # frames before MAP
+    fa_model = None
+    if cfg.get_bool("channelCompensation", False):
+        fa_model = _load_fa_model(cfg, world)
     out: dict[str, GmmDiag] = {}
     for line_no, (client, files) in enumerate(read_ndx(ndx_path)):
         try:
@@ -41,6 +61,13 @@ def main(cfg: Config) -> dict[str, GmmDiag]:
             continue
         x = jnp.asarray(fs.data)
         w = jnp.asarray(mask)
+        if fa_model is not None:
+            from ..fa.lfa import compensate_features, estimate_channel
+            from ..fa.stats import BwStats, accumulate_bw_stats
+            n, f = accumulate_bw_stats(x, w, world)
+            x_h = estimate_channel(BwStats(n=n[None], f=f[None]),
+                                   fa_model)[0]
+            x = compensate_features(x, world, fa_model, x_h)
         key = jax.random.key(seed + line_no)
         client_model = adapt_model(key, x, w, world, mcfg)
         client_model.save(mixture_path(client, cfg, save=True),
