@@ -23,6 +23,8 @@ from .tv import (
     weighted_cov,
     norm_t_matrix,
     approximate_tctc,
+    get_speaker_model,
+    verify_em_llk,
 )
 
 __all__ = [
@@ -32,4 +34,5 @@ __all__ = [
     "tv_m_step", "min_divergence", "tv_em_iteration", "estimate_w",
     "estimate_w_ubm_weight", "estimate_w_eigen_decomposition",
     "weighted_cov", "norm_t_matrix", "approximate_tctc",
+    "get_speaker_model", "verify_em_llk",
 ]

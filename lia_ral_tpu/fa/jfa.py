@@ -322,6 +322,30 @@ def jfa_train(key: jax.Array, stats: JfaStats, gmm: GmmDiag,
     return model, y, x, z
 
 
+def jfa_verify_em_llk(x_frames: jax.Array, mask: jax.Array,
+                      stats: JfaStats, model: JfaModel,
+                      weights: jax.Array, y: jax.Array, x: jax.Array,
+                      z: jax.Array, max_sessions: int = 1) -> float:
+    """EM-likelihood monitor (reference JFAAcc::getLLK / verifyEMLK,
+    AccumulateJFAStat.cpp:4803-4860): total mean frame LLK of up to
+    ``max_sessions`` sessions under their synthesised session models
+    m + V·y + U·x + D·z — rises over V/U/D EM iterations.
+
+    x_frames (H, T, Dim) padded session frames with (H, T) mask."""
+    from ..gmm.kernels import frame_llk
+    n = min(max_sessions, int(stats.sess.n.shape[0]))
+    total = 0.0
+    for h in range(n):
+        spk = int(stats.sess_spk[h])
+        means = model.supervector(y[spk], x[h], z[spk])
+        sess_gmm = GmmDiag(weights=weights, means=means,
+                           cov_inv=model.ubm_inv_var)
+        llk = frame_llk(x_frames[h], sess_gmm)
+        total += float(jnp.sum(llk * mask[h])
+                       / jnp.maximum(jnp.sum(mask[h]), 1.0))
+    return total
+
+
 # -- scoring ------------------------------------------------------------------
 
 def jfa_dot_product_scores(stats_test: BwStats, model: JfaModel,

@@ -234,6 +234,31 @@ def estimate_w(stats: BwStats, model: TvModel, chunk: int = 64) -> jax.Array:
     return w.reshape(-1, model.rank)[:s]
 
 
+def get_speaker_model(model: TvModel, w: jax.Array, gmm: GmmDiag) -> GmmDiag:
+    """Synthesise the speaker GMM m + Tᵀw (reference getSpeakerModel,
+    AccumulateTVStat.cpp:1533); weights/covariances stay the UBM's."""
+    shift = jnp.einsum("r,rkd->kd", w, model.t)
+    return gmm.replace(means=model.ubm_means + shift)
+
+
+def verify_em_llk(x: jax.Array, mask: jax.Array, stats: BwStats,
+                  model: TvModel, gmm: GmmDiag, max_utts: int = 1) -> float:
+    """EM-likelihood check (reference verifyEMLK / getLLK,
+    AccumulateTVStat.cpp:1627-1688, config key ``computeLLK``): total
+    mean frame LLK of up to ``max_utts`` utterances under their
+    synthesised speaker models — monotone over T-EM iterations."""
+    from ..gmm.kernels import frame_llk
+    w_all = estimate_w(stats, model)
+    n = min(max_utts, stats.n_utts)
+    total = 0.0
+    for i in range(n):
+        spk = get_speaker_model(model, w_all[i], gmm)
+        llk = frame_llk(x[i], spk)
+        total += float(jnp.sum(llk * mask[i])
+                       / jnp.maximum(jnp.sum(mask[i]), 1.0))
+    return total
+
+
 # -- fast approximations ------------------------------------------------------
 
 def norm_t_matrix(model: TvModel) -> jax.Array:

@@ -7,7 +7,12 @@ criteria are batched LLK reductions.
 """
 
 from .hmm import DiarHmm, viterbi_decode, compute_transitions
-from .clustering import clr_crit, gllr_crit, bic_crit, delta_bic_crit
+from .clustering import (clr_crit, gllr_crit, bic_crit, delta_bic_crit,
+                         merge_cluster, segment_mean_llk,
+                         clustering_criterion_by_adapt,
+                         clustering_criterion_em, is_similar_segment,
+                         cohort_max_likelihood, best_fitting_segment,
+                         best_fitting_cluster, intra_cluster, inter_cluster)
 from .diarization import (
     turn_detection,
     e_hmm_segmentation,

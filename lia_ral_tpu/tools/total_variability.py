@@ -17,7 +17,8 @@ import numpy as np
 
 from ..config import Config
 from ..fa.stats import BwStats, bw_stats_batch, load_stats, save_stats
-from ..fa.tv import (TvModel, approximate_tctc, eigen_decompose_w, init_t,
+from ..fa.tv import (TvModel, approximate_tctc, eigen_decompose_w,
+                     estimate_w, get_speaker_model, init_t,
                      tv_em_iteration, weighted_cov)
 from ..gmm.model import GmmDiag
 from ..io.lists import read_ndx
@@ -57,6 +58,24 @@ def accumulate_stats_from_ndx(cfg: Config, gmm: GmmDiag,
     return stats, names
 
 
+def verify_llk(cfg: Config, names: list[str], stats: BwStats,
+               model: TvModel, gmm: GmmDiag) -> float:
+    """EM-likelihood check (reference TVAcc::verifyEMLK,
+    AccumulateTVStat.cpp:1655-1688, key ``computeLLK``): total mean frame
+    LLK of the first N sessions under their synthesised speaker models."""
+    from ..gmm.kernels import frame_llk
+    max_utts = cfg.get_int("computeLLK", 1)
+    w_all = estimate_w(stats, model)
+    total = 0.0
+    for i in range(min(max_utts, len(names))):
+        fs, mask = load_features_and_mask([names[i]], cfg)
+        spk = get_speaker_model(model, w_all[i], gmm)
+        llk = frame_llk(jnp.asarray(fs.data), spk)
+        m = jnp.asarray(mask)
+        total += float(jnp.sum(llk * m) / jnp.maximum(jnp.sum(m), 1.0))
+    return total
+
+
 def main(cfg: Config) -> TvModel:
     verbose = setup_verbose(cfg)
     gmm = GmmDiag.load(mixture_path(cfg.get_str("inputWorldFilename"), cfg))
@@ -81,6 +100,9 @@ def main(cfg: Config) -> TvModel:
                                    min_div=min_div)
         if verbose:
             print(f"TV EM it {it}: |T|={float(jnp.abs(model.t).mean()):.5f}")
+        if cfg.exists("computeLLK") and not cfg.get_bool("loadAccs", False):
+            total = verify_llk(cfg, names, stats, model, gmm)
+            print(f"*** (Verify LLK) it {it} Total LLK={total:.5f} ***")
     model.save(matrix_out_path(cfg.get_str("totalVariabilityMatrix"), cfg))
     if min_div:
         write_matrix_file(matrix_out_path(

@@ -143,3 +143,42 @@ def test_dot_product_scoring_discriminates(rng):
     tgt = np.diag(scores).mean()
     imp = scores[~np.eye(8, dtype=bool)].mean()
     assert tgt > imp, (tgt, imp)
+
+
+def test_jfa_verify_em_llk_improves(rng):
+    """verifyEMLK parity (AccumulateJFAStat.cpp:4803-4860): evidence LLK of
+    sessions under synthesised m+Vy+Ux+Dz models rises over JFA training."""
+    from lia_ral_tpu.fa.jfa import jfa_verify_em_llk, jfa_train, JfaModel
+    from lia_ral_tpu.fa.jfa import JfaStats
+    from lia_ral_tpu.fa.stats import bw_stats_batch
+    k, d, rv, ru = 4, 3, 2, 2
+    n_spk, sess_per, frames = 6, 3, 250
+    gmm = random_gmm(rng, k, d)
+    v_true = rng.standard_normal((rv, k, d))
+    u_true = rng.standard_normal((ru, k, d)) * 0.5
+    xs, sess_spk = [], []
+    for s in range(n_spk):
+        y = rng.standard_normal(rv)
+        for _ in range(sess_per):
+            xx = rng.standard_normal(ru)
+            mu = (np.asarray(gmm.means) + np.einsum("r,rkd->kd", y, v_true)
+                  + np.einsum("r,rkd->kd", xx, u_true))
+            comp = rng.integers(0, k, frames)
+            xs.append(mu[comp] + rng.standard_normal((frames, d)) * 0.7)
+            sess_spk.append(s)
+    x_frames = jnp.asarray(np.stack(xs), jnp.float32)
+    mask = jnp.ones(x_frames.shape[:2], jnp.float32)
+    sess = bw_stats_batch(x_frames, mask, gmm)
+    stats = JfaStats.from_sessions(sess, sess_spk, n_spk)
+    key = jax.random.key(0)
+    model0 = JfaModel.init(key, rv, ru, gmm)
+    h = len(xs)
+    y0 = jnp.zeros((n_spk, rv)); x0 = jnp.zeros((h, ru))
+    z0 = jnp.zeros((n_spk, k, d))
+    llk0 = jfa_verify_em_llk(x_frames, mask, stats, model0, gmm.weights,
+                             y0, x0, z0, max_sessions=5)
+    model, y, x, z = jfa_train(key, stats, gmm, rv, ru,
+                               nb_it_v=5, nb_it_u=5, nb_it_d=2)
+    llk1 = jfa_verify_em_llk(x_frames, mask, stats, model, gmm.weights,
+                             y, x, z, max_sessions=5)
+    assert llk1 > llk0 + 0.5, (llk0, llk1)

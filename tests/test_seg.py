@@ -140,3 +140,121 @@ def test_acoustic_segmentation(rng):
         min_duration=20)
     assert (path == truth).mean() > 0.95
     assert {s.label for s in segs} == {"speech", "music"}
+
+
+# ---------------------------------------------------------------------------
+# ClusteringCriterion merging/search layer
+# (reference ClusteringCriterion.cpp:155-800)
+# ---------------------------------------------------------------------------
+
+def _two_cluster_scene(rng, d=4, seg_len=700):
+    """Frame array with 4 segments: A A B B (A ~ +3, B ~ -3)."""
+    parts, segs = [], []
+    for i, mean in enumerate([3.0, 3.0, -3.0, -3.0]):
+        parts.append(mean + rng.standard_normal((seg_len, d)) * 0.5)
+        segs.append((i * seg_len, (i + 1) * seg_len))
+    x = jnp.asarray(np.concatenate(parts), jnp.float32)
+    return x, segs
+
+
+def _world_for_segs(x, key=0, k=4):
+    cfg = TrainCfg(nb_train_it=3)
+    w = jnp.ones((x.shape[0],), jnp.float32)
+    init = mixture_init(jax.random.key(key), x, w, k)
+    return train_model(jax.random.key(key + 1), x, w, init, cfg)
+
+
+def test_segment_mean_llk_matches_direct(rng):
+    from lia_ral_tpu.gmm.kernels import frame_llk
+    from lia_ral_tpu.seg import segment_mean_llk
+    x, segs = _two_cluster_scene(rng, seg_len=100)
+    world = _world_for_segs(x)
+    got = segment_mean_llk(x, segs, world)
+    llk = np.asarray(frame_llk(x, world))
+    want = [llk[b:e].mean() for b, e in segs]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_merge_cluster_sorted():
+    from lia_ral_tpu.seg import merge_cluster
+    assert merge_cluster([(10, 20)], [(0, 5), (30, 40)]) == [
+        (0, 5), (10, 20), (30, 40)]
+
+
+def test_clustering_criterion_by_adapt_separates(rng):
+    from lia_ral_tpu.seg import clustering_criterion_by_adapt
+    x, segs = _two_cluster_scene(rng)
+    # a broad world so MAP adaptation actually specialises the models
+    world = gauss_gmm(0.0, var=10.0)
+    key = jax.random.key(7)
+    for crit, same_higher in [("CLR", True), ("DELTABIC", True),
+                              ("BIC", False)]:
+        same = clustering_criterion_by_adapt(key, x, segs[0], segs[1],
+                                             world, crit)
+        diff = clustering_criterion_by_adapt(key, x, segs[0], segs[2],
+                                             world, crit)
+        assert (same > diff) == same_higher, crit
+
+
+def test_is_similar_segment_em_decision(rng):
+    from lia_ral_tpu.seg import is_similar_segment
+    x, segs = _two_cluster_scene(rng)
+    world = _world_for_segs(x)
+    key = jax.random.key(3)
+    # DELTABIC (=GLLR): same-speaker pair merges, cross-speaker does not.
+    # Threshold slightly below 0 absorbs the EM-overfit noise of separate
+    # models (the reference exposes this as clusteringCritThresh).
+    assert is_similar_segment(key, x, segs[2], segs[3], world, "DELTABIC",
+                              threshold=-50.0)
+    assert not is_similar_segment(key, x, segs[0], segs[2], world,
+                                  "DELTABIC", threshold=-50.0)
+
+
+def test_best_fitting_segment_and_cluster(rng):
+    from lia_ral_tpu.seg import best_fitting_cluster, best_fitting_segment
+    x, segs = _two_cluster_scene(rng)
+    world = _world_for_segs(x)
+    m_a = gauss_gmm(3.0)
+    m_b = gauss_gmm(-3.0)
+    # cluster contaminated with one B segment: best fitting under A model
+    # must be an A segment (length > 600 rule satisfied: seg_len=700)
+    cluster = [segs[0], segs[2], segs[1]]
+    ind = best_fitting_segment(x, cluster, m_a, world=world)
+    assert ind in (0, 2)
+    # a short cluster (< 600 frames per segment) yields None
+    short = [(0, 100), (100, 200)]
+    assert best_fitting_segment(x, short, m_a, world=world) is None
+    # cohort normalisation path
+    ind2 = best_fitting_segment(x, cluster, m_a, cohort=[m_a, m_b],
+                                except_ind=0)
+    assert ind2 in (0, 2)
+    assert best_fitting_cluster(x, [m_a, m_b], segs[3]) == 1
+    assert best_fitting_cluster(x, [m_a, m_b], segs[3], except_ind=1) == 0
+
+
+def test_intra_inter_cluster_purity(rng):
+    from lia_ral_tpu.seg import inter_cluster, intra_cluster
+    x, segs = _two_cluster_scene(rng)
+    world = _world_for_segs(x)
+    m_a, m_b = gauss_gmm(3.0), gauss_gmm(-3.0)
+    # cluster 0 is impure: contains one B segment
+    clusters = [[segs[0], segs[2]], [segs[3], segs[1]]]
+    key = jax.random.key(11)
+    intra = intra_cluster(key, x, clusters, [m_a, m_b], world,
+                          "DELTABIC", threshold=-50.0)
+    assert intra[0] == [True, False]       # B segment flagged impure
+    inter = inter_cluster(key, x, clusters, [m_a, m_b], world,
+                          "DELTABIC", threshold=-50.0)
+    # cluster 0's best segment (an A) matches the A segment inside cluster 1
+    assert (1, 1) in inter[0]
+    # cluster 1's best segment (a B) matches the B segment inside cluster 0
+    assert (0, 1) in inter[1]
+
+
+def test_cohort_max_likelihood(rng):
+    from lia_ral_tpu.seg import cohort_max_likelihood, segment_mean_llk
+    x, segs = _two_cluster_scene(rng, seg_len=100)
+    m_a, m_b = gauss_gmm(3.0), gauss_gmm(-3.0)
+    v = cohort_max_likelihood(x, [m_a, m_b], segs[0], except_ind=0)
+    np.testing.assert_allclose(v, segment_mean_llk(x, [segs[0]], m_b)[0],
+                               rtol=1e-6)

@@ -181,3 +181,34 @@ def test_tv_model_matx_roundtrip(tmp_path, rng):
     back = TvModel.load(p, gmm)
     np.testing.assert_allclose(np.asarray(back.t), np.asarray(model.t),
                                rtol=1e-6)
+
+
+def test_verify_em_llk_monotone_over_em(rng):
+    """verifyEMLK parity (AccumulateTVStat.cpp:1655-1688): the evidence
+    LLK of utterances under their synthesised speaker models must not
+    decrease over T-EM iterations (the reference's checkLLK monitor)."""
+    from lia_ral_tpu.fa.tv import verify_em_llk
+    s, k, d, r, frames = 12, 4, 3, 2, 300
+    gmm = random_gmm(rng, k, d)
+    # generate data with genuine low-rank mean offsets so T has signal
+    t_true = rng.standard_normal((r, k, d)) * 1.0
+    x = np.zeros((s, frames, d), np.float32)
+    for i in range(s):
+        w = rng.standard_normal(r)
+        comp = rng.integers(0, k, frames)
+        mu = np.asarray(gmm.means) + np.einsum("r,rkd->kd", w, t_true)
+        x[i] = mu[comp] + rng.standard_normal((frames, d)) * 0.7
+    mask = jnp.ones((s, frames), jnp.float32)
+    xj = jnp.asarray(x)
+    stats = bw_stats_batch(xj, mask, gmm)
+    model = init_t(jax.random.key(1), r, gmm, scale=0.01)
+    llks = [verify_em_llk(xj, mask, stats, model, gmm, max_utts=4)]
+    for _ in range(4):
+        model, _ = tv_em_iteration(stats, model, min_div=True)
+        llks.append(verify_em_llk(xj, mask, stats, model, gmm, max_utts=4))
+    assert llks[-1] > llks[0]
+    # near-monotone: allow small f32 / min-divergence wiggle at
+    # convergence (the reference treats this as a monitor, not a strict
+    # invariant — plug-in MAP i-vectors are not the exact EM objective)
+    for a, b in zip(llks, llks[1:]):
+        assert b > a - 0.1, llks
