@@ -15,7 +15,9 @@ import sys
 import jax.numpy as jnp
 import numpy as np
 
-from ..backend.unsupervised import UnsupervisedAdapter, wmap
+from ..backend.unsupervised import (UnsupervisedAdapter, expand_llr,
+                                    load_tnorm_param, normalize_score,
+                                    oracle, wmap)
 from ..config import Config
 from ..gmm.map_adapt import MapCfg
 from ..gmm.model import GmmDiag
@@ -35,6 +37,24 @@ def main(cfg: Config) -> list[ScoreLine]:
     imp_std = cfg.get_float("WMAPimpStd", 1.0)
     prior = cfg.get_float("WMAPtarPrior", 0.1)
     gender = cfg.get_str("gender", "M")
+    # trial-weighting mode (reference SpkAdaptMain.cpp keys):
+    # WMAP (default) | REGRESS (expandLLR logistic) | Oracle
+    use_regress = cfg.get_bool("REGRESS", False)
+    use_oracle = cfg.get_bool("Oracle", False)
+    target_tests: list[tuple[str, str]] = []
+    if use_oracle and cfg.exists("targetTests"):
+        for name, elems in read_ndx(cfg.get_str("targetTests")):
+            # "model x test ..." lines — columns 0 and 2
+            if len(elems) >= 2:
+                target_tests.append((name, elems[1]))
+    # optional T-norm of scores before weighting (reference TNORM key:
+    # impostor trial scores from a res file, loadTnormParam)
+    tnorm_cache = None
+    if cfg.get_bool("TNORM", False) and cfg.exists("tnormResFilename"):
+        from ..io.nist import read_nist_scores
+        lines = read_nist_scores(cfg.get_str("tnormResFilename"))
+        res = [(ln.model, ln.seg, ln.score) for ln in lines]
+        tnorm_cache = load_tnorm_param(sorted({t for _, t, _ in res}), res)
     results: list[ScoreLine] = []
     # targetIdList: "target trainFile+"; ndxFilename: "testSeg target+"
     train = dict(read_ndx(cfg.get_str("targetIdList")))
@@ -52,11 +72,20 @@ def main(cfg: Config) -> list[ScoreLine]:
         for target in targets:
             ad = adapters[target]
             score = ad.score(x, w)
+            if tnorm_cache is not None:
+                score = normalize_score(test_name, score, tnorm_cache)
             results.append(ScoreLine(gender, target,
                                      "1" if score > 0 else "0",
                                      test_name, score))
-            weight = float(wmap(np.asarray([score]), tar_mean, tar_std,
-                                imp_mean, imp_std, prior)[0])
+            if use_oracle:
+                weight = oracle(target, test_name, score, target_tests)
+            elif use_regress:
+                weight = float(expand_llr(
+                    np.asarray([score]), cfg.get_float("THETA", 0.0),
+                    cfg.get_float("BETA", 1.0))[0])
+            else:
+                weight = float(wmap(np.asarray([score]), tar_mean, tar_std,
+                                    imp_mean, imp_std, prior)[0])
             ad.process_trial(x, w, weight)
             if verbose:
                 print(f"[{target}×{test_name}] score={score:.4f} "

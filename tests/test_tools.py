@@ -165,3 +165,77 @@ def test_norm_feat_window_on_reference_fixture(tmp_path):
     out = norm_feat.main(cfg)
     assert out["test1"].shape == (50, 34)
     assert np.isfinite(out["test1"]).all()
+
+
+def test_spk_adapt_tool_modes(tmp_path):
+    """SpkAdapt CLI: WMAP / REGRESS / Oracle weighting modes + TNORM score
+    normalization over a small trial sequence (reference SpkAdaptMain.cpp
+    keys WMAP/REGRESS/Oracle/TNORM)."""
+    import jax
+    import jax.numpy as jnp
+    from lia_ral_tpu.gmm import TrainCfg, mixture_init, train_model
+    from lia_ral_tpu.io.nist import ScoreLine, write_nist_scores
+    from lia_ral_tpu.tools import spk_adapt
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(3)
+    dim, k = 8, 8
+    bg = (rng.standard_normal((6000, dim)) * 2).astype(np.float32)
+    xj = jnp.asarray(bg)
+    w = jnp.ones(6000, jnp.float32)
+    init = mixture_init(jax.random.key(0), xj, w, k)
+    world = train_model(jax.random.key(1), xj, w, init,
+                        TrainCfg(nb_train_it=3))
+    world.save(os.path.join(d, "wld.gmm"))
+
+    def utt(shift, n, name):
+        x = (bg[rng.integers(0, 6000, n)] + shift).astype(np.float32)
+        write_feature_file(os.path.join(d, name + ".prm"), x, fmt="SPRO4")
+    utt(1.5, 1200, "enroll")
+    utt(1.5, 600, "t_tar")     # true target trial
+    utt(-1.5, 600, "t_imp")    # impostor trial
+    write_xlist(os.path.join(d, "targets.ndx"),
+                [["spk1", "enroll"]])
+    write_xlist(os.path.join(d, "trials.ndx"),
+                [["t_tar", "spk1"], ["t_imp", "spk1"]])
+
+    base = dict(featureFilesPath=d + "/", mixtureFilesPath=d + "/",
+                labelFilesPath=d + "/", inputWorldFilename="wld",
+                targetIdList=os.path.join(d, "targets.ndx"),
+                ndxFilename=os.path.join(d, "trials.ndx"),
+                loadFeatureFileExtension=".prm",
+                addDefaultLabel="true",
+                saveMixtureFileFormat="RAW")
+
+    def run(extra, out):
+        cfg = Config(dict(base, outputFilename=os.path.join(d, out),
+                          **extra))
+        return spk_adapt.main(cfg)
+
+    res_wmap = run({}, "wmap.nist")
+    assert res_wmap[0].score > res_wmap[1].score  # target > impostor
+
+    res_reg = run({"REGRESS": "true", "THETA": "0", "BETA": "2"},
+                  "regress.nist")
+    assert res_reg[0].score > res_reg[1].score
+
+    # Oracle mode: ground-truth target list marks only spk1×t_tar
+    write_xlist(os.path.join(d, "target_tests.lst"),
+                [["spk1", "x", "t_tar"]])
+    res_orc = run({"Oracle": "true",
+                   "targetTests": os.path.join(d, "target_tests.lst")},
+                  "oracle.nist")
+    assert res_orc[0].score > res_orc[1].score
+
+    # TNORM mode: impostor res file centred at each test's own score makes
+    # both normed scores finite and ordering preserved
+    write_nist_scores(os.path.join(d, "imp.res"), [
+        ScoreLine("M", "i1", "0", "t_tar", 0.5),
+        ScoreLine("M", "i2", "0", "t_tar", -0.5),
+        ScoreLine("M", "i1", "0", "t_imp", 0.5),
+        ScoreLine("M", "i2", "0", "t_imp", -0.5)])
+    res_tn = run({"TNORM": "true",
+                  "tnormResFilename": os.path.join(d, "imp.res")},
+                 "tnorm.nist")
+    assert res_tn[0].score > res_tn[1].score
+    assert np.isfinite([r.score for r in res_tn]).all()

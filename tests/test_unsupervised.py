@@ -173,3 +173,110 @@ def test_window_llr_compute_test_mode(tmp_path, rng):
     # first windows (target half) score higher than last windows
     assert np.mean([r.score for r in res[:3]]) > \
         np.mean([r.score for r in res[3:]])
+
+
+# ---------------------------------------------------------------------------
+# UnsupervisedTools completion (UnsupervisedTools.cpp:847-1757)
+# ---------------------------------------------------------------------------
+
+def test_expand_llr_logistic():
+    from lia_ral_tpu.backend.unsupervised import expand_llr
+    s = np.asarray([-5.0, 0.0, 5.0])
+    p = expand_llr(s, theta=0.0, beta=1.0)
+    assert p[0] < 0.01 and abs(p[1] - 0.5) < 1e-9 and p[2] > 0.99
+    # beta scales steepness, theta shifts
+    assert expand_llr(np.asarray([1.0]), theta=-1.0, beta=1.0)[0] == \
+        pytest.approx(0.5)
+
+
+def test_compute_priors_sequence():
+    from lia_ral_tpu.backend.unsupervised import compute_priors
+    dec = np.asarray([0.0, 2.0, -1.0, 3.0])  # elt 0 = enrollment
+    pt, pi = compute_priors(dec, init_prior_tar=1.0, init_prior_imp=1.0,
+                            optimal_score=0.5)
+    assert pt[1] == pytest.approx(2 / 3)       # one target seen
+    assert pt[2] == pytest.approx(2 / 4)       # then one impostor
+    assert pt[3] == pytest.approx(3 / 5)
+    np.testing.assert_allclose(pt + pi, 1.0)
+
+
+def test_oracle_modes():
+    from lia_ral_tpu.backend.unsupervised import oracle
+    tt = [("spk1", "t1"), ("spk2", "t9")]
+    assert oracle("spk1", "t1", 2.0, tt) == 1.0
+    assert oracle("spk1", "t2", 2.0, tt) == 0.0
+    tar = GmmDiag.create(np.ones(1), np.asarray([[2.0]]), np.ones((1, 1)))
+    imp = GmmDiag.create(np.ones(1), np.asarray([[-2.0]]), np.ones((1, 1)))
+    wv = oracle("spk1", "t1", 2.0, tt, wmap_type=True, classical_type=False,
+                tar=tar, imp=imp)
+    assert 0.9 < wv <= 1.0   # WMAP posterior of a high score
+
+
+def test_tnorm_cache_and_normalize():
+    from lia_ral_tpu.backend.unsupervised import (load_tnorm_param,
+                                                  normalize_score)
+    res = [("imp1", "tA", 1.0), ("imp2", "tA", 3.0),
+           ("imp1", "tB", -1.0), ("imp2", "tB", 1.0)]
+    cache = load_tnorm_param(["tA", "tB"], res)
+    assert cache["tA"].mu == pytest.approx(2.0)
+    assert cache["tA"].sigma == pytest.approx(1.0)
+    assert normalize_score("tA", 4.0, cache) == pytest.approx(2.0)
+    assert normalize_score("unknown", 4.0, cache) == 4.0
+    assert normalize_score("tA", 4.0, cache, shift=1.0) == pytest.approx(1.0)
+    # znorm layout keys by model
+    zc = load_tnorm_param(["imp1"], res, field="model")
+    assert zc["imp1"].mu == pytest.approx(0.0)
+
+
+def test_search_llr_and_fuse_map_means():
+    from lia_ral_tpu.backend.unsupervised import (fuse_map_means,
+                                                  search_llr_from_res_file)
+    res = [("s1", "t1", 0.5), ("s1", "t2", -0.5)]
+    assert search_llr_from_res_file(res, "s1", "t2") == -0.5
+    assert search_llr_from_res_file(res, "s2", "t1") is None
+    m1 = GmmDiag.create(np.ones(1), np.asarray([[0.0, 0.0]]),
+                        np.ones((1, 2)))
+    m2 = GmmDiag.create(np.ones(1), np.asarray([[2.0, 4.0]]),
+                        np.ones((1, 2)))
+    f = fuse_map_means(m1, 3.0, m2, 1.0)
+    np.testing.assert_allclose(np.asarray(f.means), [[0.5, 1.0]])
+
+
+def _small_world(rng, k=8, d=4):
+    x = rng.standard_normal((4000, d)).astype(np.float32) * 2
+    xj = jnp.asarray(x)
+    w = jnp.ones(4000, jnp.float32)
+    init = mixture_init(jax.random.key(0), xj, w, k)
+    return train_model(jax.random.key(1), xj, w, init,
+                       TrainCfg(nb_train_it=3)), x
+
+
+def test_znorm_param_online(rng):
+    from lia_ral_tpu.backend.unsupervised import (
+        compute_and_store_znorm_param)
+    world, x = _small_world(rng)
+    client_data = jnp.asarray(x[:800] + 1.0)
+    from lia_ral_tpu.gmm.map_adapt import adapt_model
+    client = adapt_model(jax.random.key(2), client_data,
+                         jnp.ones(800, jnp.float32), world,
+                         MapCfg(method="MAPOccDep", mean_adapt=True))
+    imp_utts = [(jnp.asarray(x[i * 500:(i + 1) * 500]),
+                 jnp.ones(500, jnp.float32)) for i in range(4, 8)]
+    p = compute_and_store_znorm_param(client, world, imp_utts)
+    assert np.isfinite(p.mu) and p.sigma > 0
+    # impostor scores against an adapted client should skew negative
+    assert p.mu < 0.5
+
+
+def test_cross_valid_selects_split(rng):
+    from lia_ral_tpu.backend.unsupervised import cross_valid
+    world, x = _small_world(rng)
+    xe = jnp.asarray(x[:1500] + 1.0)
+    w = jnp.ones(1500, jnp.float32)
+    cfg = MapCfg(method="MAPOccDep", mean_adapt=True)
+    em_model, sel, llr = cross_valid(jax.random.key(5), xe, w, world, cfg,
+                                     selected_train=0.7, average_it=3)
+    assert np.isfinite(llr)
+    frac = float(jnp.sum(sel)) / 1500
+    assert 0.4 < frac < 0.95          # bagged selection near 70%
+    assert em_model.means.shape == world.means.shape
