@@ -168,6 +168,67 @@ def bagged_frame_mask(
 
 # -- init ---------------------------------------------------------------------
 
+def _split_component(gmm: GmmDiag, idx) -> GmmDiag:
+    """Split component ``idx`` into mean±sqrt(cov) halves of equal weight
+    (the inner step of reference mixtureInitBySplit, Tools.cpp:1057)."""
+    sd = jnp.sqrt(1.0 / gmm.cov_inv[idx])
+    m_plus = gmm.means[idx] + sd
+    m_minus = gmm.means[idx] - sd
+    half = gmm.weights[idx] / 2.0
+    return GmmDiag(
+        weights=jnp.concatenate([gmm.weights.at[idx].set(half),
+                                 half[None]]),
+        means=jnp.concatenate([gmm.means.at[idx].set(m_plus),
+                               m_minus[None]]),
+        cov_inv=jnp.concatenate([gmm.cov_inv, gmm.cov_inv[idx][None]]),
+    )
+
+
+def mixture_init_by_split(
+    key: jax.Array,
+    x: jax.Array,
+    w: jax.Array,
+    max_distrib: int,
+    cfg: "TrainCfg | None" = None,
+    stats_fn=None,
+    chunk: int = 4096,
+    verbose: bool = False,
+) -> GmmDiag:
+    """Binary-splitting GMM initialisation — reference mixtureInitBySplit
+    (Tools.cpp:1057-1240): start from one Gaussian at the global
+    mean/covariance; while 2K ≤ max split EVERY component into
+    mean±sqrt(cov) halves and EM-retrain; then unitary splits of the
+    heaviest component until K == max, EM after each.  Used by the
+    diarization world-model builder (createWorld, Tools.cpp:1243)."""
+    cfg = cfg or TrainCfg(nb_train_it=3)
+    gmean, gcov = global_mean_cov(x, w)
+    gmm = GmmDiag(weights=jnp.ones((1,), x.dtype),
+                  means=gmean[None].astype(x.dtype),
+                  cov_inv=(1.0 / jnp.maximum(gcov, 1e-8))[None]
+                  .astype(x.dtype))
+
+    def retrain(g, k):
+        return train_model(k, x, w, g, cfg, stats_fn=stats_fn, chunk=chunk,
+                           verbose=verbose)
+
+    while 2 * gmm.n_components <= max_distrib:
+        k = gmm.n_components
+        for d in range(k):          # split every component of this round
+            gmm = _split_component(gmm, d)
+        key, kt = jax.random.split(key)
+        gmm = retrain(gmm, kt)
+        if verbose:
+            print(f"split init: {gmm.n_components} components")
+    while gmm.n_components < max_distrib:   # unitary splits
+        idx = int(jnp.argmax(gmm.weights))
+        gmm = _split_component(gmm, idx)
+        key, kt = jax.random.split(key)
+        gmm = retrain(gmm, kt)
+        if verbose:
+            print(f"split init (unitary): {gmm.n_components} components")
+    return gmm
+
+
 def mixture_init(
     key: jax.Array,
     x: jax.Array,

@@ -18,11 +18,15 @@ from .diarization import (
     e_hmm_segmentation,
     resegmentation,
     acoustic_segmentation,
+    create_world,
+    seg_em,
+    seg_adaptation,
 )
 
 __all__ = [
     "DiarHmm", "viterbi_decode", "compute_transitions",
     "clr_crit", "gllr_crit", "bic_crit", "delta_bic_crit",
     "turn_detection", "e_hmm_segmentation", "resegmentation",
-    "acoustic_segmentation",
+    "acoustic_segmentation", "create_world", "seg_em",
+    "seg_adaptation",
 ]

@@ -32,6 +32,41 @@ from .clustering import glr_window_distance
 from .hmm import DiarHmm, path_to_segments, viterbi_decode
 
 
+def create_world(key, x: jax.Array, w: jax.Array, max_distrib: int,
+                 nb_train_it: int = 3) -> GmmDiag:
+    """World model for diarization by binary-split init + EM (reference
+    createWorld, Tools.cpp:1243-1271 → mixtureInitBySplit)."""
+    from ..gmm.em import mixture_init_by_split
+    return mixture_init_by_split(key, x, w, max_distrib,
+                                 TrainCfg(nb_train_it=nb_train_it))
+
+
+def seg_em(key, x: jax.Array, w: jax.Array, init: GmmDiag,
+           nb_train_it: int = 5) -> GmmDiag:
+    """EM-train a state model on the frames of one segmentation mask
+    (reference segEM, Tools.h:153)."""
+    return train_model(key, x, w, init, TrainCfg(nb_train_it=nb_train_it))
+
+
+def seg_adaptation(key, x: jax.Array, hmm: DiarHmm, path: np.ndarray,
+                   world: GmmDiag, min_state_frames: int = 1
+                   ) -> tuple[DiarHmm, list[int]]:
+    """MAP-adapt every HMM state on its currently assigned frames and drop
+    states that lost all data (reference segAdaptation, Tools.cpp:1276 →
+    NoDataSpeakerVerification, Tools.cpp:862-908).  Returns the updated
+    HMM and the kept state indices."""
+    keep, models, names = [], [], []
+    for si in range(hmm.n_states):
+        mask = (path == si).astype(np.float32)
+        if mask.sum() < min_state_frames:
+            continue            # zero-data speaker: deleted
+        key, kk = jax.random.split(key)
+        models.append(_train_state_model(kk, x, jnp.asarray(mask), world))
+        names.append(hmm.names[si])
+        keep.append(si)
+    return DiarHmm.from_gmms(models, names), keep
+
+
 def turn_detection(x: np.ndarray, window: int = 50, alpha: float = 0.6,
                    min_gap: int = 25) -> np.ndarray:
     """Speaker-turn candidates: GLR distance between the two windows

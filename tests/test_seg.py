@@ -258,3 +258,42 @@ def test_cohort_max_likelihood(rng):
     v = cohort_max_likelihood(x, [m_a, m_b], segs[0], except_ind=0)
     np.testing.assert_allclose(v, segment_mean_llk(x, [segs[0]], m_b)[0],
                                rtol=1e-6)
+
+
+def test_mixture_init_by_split(rng):
+    """Binary-split init (Tools.cpp:1057): reaches the exact component
+    count (incl. non-power-of-two via unitary splits) and fits the data at
+    least as well as a single Gaussian."""
+    from lia_ral_tpu.gmm.em import mixture_init_by_split, TrainCfg
+    from lia_ral_tpu.gmm.kernels import frame_llk
+    x, _ = two_speaker_signal(rng, n_turns=4, turn_len=300)
+    xj = jnp.asarray(x)
+    w = jnp.ones(xj.shape[0], jnp.float32)
+    g6 = mixture_init_by_split(jax.random.key(0), xj, w, 6,
+                               TrainCfg(nb_train_it=2))
+    assert g6.n_components == 6
+    np.testing.assert_allclose(float(jnp.sum(g6.weights)), 1.0, atol=1e-4)
+    g1 = mixture_init_by_split(jax.random.key(0), xj, w, 1)
+    llk6 = float(jnp.mean(frame_llk(xj, g6)))
+    llk1 = float(jnp.mean(frame_llk(xj, g1)))
+    assert llk6 > llk1 + 0.3
+
+
+def test_create_world_and_seg_adaptation(rng):
+    from lia_ral_tpu.seg import create_world, seg_adaptation, seg_em
+    x, truth = two_speaker_signal(rng, n_turns=4, turn_len=200)
+    xj = jnp.asarray(x)
+    w = jnp.ones(xj.shape[0], jnp.float32)
+    world = create_world(jax.random.key(0), xj, w, 4, nb_train_it=2)
+    assert world.n_components == 4
+    hmm = DiarHmm.from_gmms([gauss_gmm(3.0), gauss_gmm(-3.0),
+                             gauss_gmm(10.0)], ["A", "B", "ghost"])
+    path = viterbi_decode(xj, hmm)
+    # the ghost state gets no frames → NoDataSpeakerVerification drops it
+    hmm2, keep = seg_adaptation(jax.random.key(1), xj, hmm, path, world)
+    assert keep == [0, 1]
+    assert hmm2.names == ["A", "B"]
+    m = seg_em(jax.random.key(2), xj,
+               jnp.asarray((path == 0).astype(np.float32)), world,
+               nb_train_it=2)
+    assert m.n_components == world.n_components
