@@ -6,9 +6,12 @@ impostor score distributions normalise trial scores.  Core operates on
 (M models × T segments) score matrices; the file-level tool
 (tools/compute_norm.py) adapts NIST score files to these.
 
-Modes: mean/std (default) or median-based (reference normType "median"),
-with optional highest-score percentile selection (reference
-nbScoreNormSelect / percentile trimming).
+Modes follow ``DistribNorm::computeMeanStd`` (ComputeNorm.cpp:121-159):
+mean/std (``meanMode 0``) or median + mean-absolute-deviation
+(``meanMode 1``), with optional percentile trimming — drop the highest
+``percentH`` and lowest ``percentL`` fraction of each impostor
+distribution before computing the statistics (cpp:127-135).  Trim counts
+are static Python ints, so the sort+slice stays jit-compatible.
 """
 
 from __future__ import annotations
@@ -18,63 +21,72 @@ import jax.numpy as jnp
 
 
 def _stats(scores: jax.Array, axis: int, use_median: bool = False,
-           top_fraction: float | None = None) -> tuple[jax.Array, jax.Array]:
-    """Mean/std (or median/MAD-ish) of impostor scores along ``axis``,
-    optionally over only the highest ``top_fraction`` of scores
-    (reference selection of best impostor scores)."""
-    if top_fraction is not None and 0.0 < top_fraction < 1.0:
-        k = max(int(scores.shape[axis] * top_fraction), 2)
-        top = jax.lax.top_k(jnp.moveaxis(scores, axis, -1), k)[0]
-        scores = jnp.moveaxis(top, -1, axis)
+           percent_h: float = 0.0, percent_l: float = 0.0
+           ) -> tuple[jax.Array, jax.Array]:
+    """Per-entity location/scale of impostor scores along ``axis``
+    (reference DistribNorm::computeMeanStd, ComputeNorm.cpp:121-159)."""
+    n = scores.shape[axis]
+    if percent_h or percent_l:
+        discard_h = int(n * percent_h)
+        discard_l = int(n * percent_l)
+        srt = jnp.sort(jnp.moveaxis(scores, axis, -1), axis=-1,
+                       descending=True)
+        scores = jnp.moveaxis(srt[..., discard_h:n - discard_l], -1, axis)
+        n = n - discard_h - discard_l
     if use_median:
+        # reference meanMode 1: location = median element, scale = mean
+        # absolute deviation (cpp:147-151)
         mu = jnp.median(scores, axis=axis)
-        sd = jnp.sqrt(jnp.median((scores - jnp.expand_dims(mu, axis)) ** 2,
-                                 axis=axis))
+        sd = jnp.mean(jnp.abs(scores - jnp.expand_dims(mu, axis)), axis=axis)
     else:
         mu = jnp.mean(scores, axis=axis)
-        sd = jnp.std(scores, axis=axis)
+        sd = jnp.std(scores, axis=axis)    # biased, as cpp:145-146
     return mu, jnp.maximum(sd, 1e-12)
 
 
 def znorm(scores: jax.Array, impostor_seg_scores: jax.Array,
-          use_median: bool = False,
-          top_fraction: float | None = None) -> jax.Array:
+          use_median: bool = False, percent_h: float = 0.0,
+          percent_l: float = 0.0) -> jax.Array:
     """Z-norm: normalise per MODEL using its scores against impostor
     segments.  scores (M,T); impostor_seg_scores (M, Z)."""
     mu, sd = _stats(impostor_seg_scores, axis=1, use_median=use_median,
-                    top_fraction=top_fraction)
+                    percent_h=percent_h, percent_l=percent_l)
     return (scores - mu[:, None]) / sd[:, None]
 
 
 def tnorm(scores: jax.Array, impostor_model_scores: jax.Array,
-          use_median: bool = False,
-          top_fraction: float | None = None) -> jax.Array:
+          use_median: bool = False, percent_h: float = 0.0,
+          percent_l: float = 0.0) -> jax.Array:
     """T-norm: normalise per SEGMENT using impostor-model scores against
     it.  scores (M,T); impostor_model_scores (I, T)."""
     mu, sd = _stats(impostor_model_scores, axis=0, use_median=use_median,
-                    top_fraction=top_fraction)
+                    percent_h=percent_h, percent_l=percent_l)
     return (scores - mu[None, :]) / sd[None, :]
 
 
 def ztnorm(scores: jax.Array, impostor_seg_scores: jax.Array,
            impostor_model_scores: jax.Array,
            impostor_cross_scores: jax.Array,
-           use_median: bool = False) -> jax.Array:
+           use_median: bool = False, percent_h: float = 0.0,
+           percent_l: float = 0.0) -> jax.Array:
     """ZT-norm: z-norm first, then t-norm with z-normed impostor models
     (reference ztnorm mode, ComputeNorm.cpp:491+).
 
     impostor_cross_scores (I, Z): impostor models × impostor segments —
     needed to z-norm the impostor-model score rows consistently."""
-    z = znorm(scores, impostor_seg_scores, use_median)
-    z_imp = znorm(impostor_model_scores, impostor_cross_scores, use_median)
-    return tnorm(z, z_imp, use_median)
+    z = znorm(scores, impostor_seg_scores, use_median, percent_h, percent_l)
+    z_imp = znorm(impostor_model_scores, impostor_cross_scores, use_median,
+                  percent_h, percent_l)
+    return tnorm(z, z_imp, use_median, percent_h, percent_l)
 
 
 def tznorm(scores: jax.Array, impostor_seg_scores: jax.Array,
            impostor_model_scores: jax.Array,
            impostor_cross_scores: jax.Array,
-           use_median: bool = False) -> jax.Array:
+           use_median: bool = False, percent_h: float = 0.0,
+           percent_l: float = 0.0) -> jax.Array:
     """TZ-norm: t-norm first, then z-norm with t-normed impostor segments."""
-    t = tnorm(scores, impostor_model_scores, use_median)
-    t_imp = tnorm(impostor_seg_scores, impostor_cross_scores, use_median)
-    return znorm(t, t_imp, use_median)
+    t = tnorm(scores, impostor_model_scores, use_median, percent_h, percent_l)
+    t_imp = tnorm(impostor_seg_scores, impostor_cross_scores, use_median,
+                  percent_h, percent_l)
+    return znorm(t, t_imp, use_median, percent_h, percent_l)

@@ -2,7 +2,11 @@
 
 Equivalent of reference ``LIA_SpkDet/ComputeNorm`` (ComputeNorm.cpp:
 491-765): tnorm | znorm | ztnorm | tznorm, driven by a main score file and
-impostor score files, writing a normalised NIST score file.
+impostor score files, writing a normalised NIST score file.  Supports the
+reference's ``meanMode`` (0 mean / 1 median+MAD), ``percentH/percentL``
+percentile trimming (cpp:127-135), target-independent impostor selection
+via ``impostorIDList`` (cpp:511-514), and configurable score-file field
+positions ``fieldGender/fieldName/fieldSeg/fieldLLR`` (cpp:519-523).
 """
 
 from __future__ import annotations
@@ -14,8 +18,23 @@ import numpy as np
 
 from ..backend.norm import tnorm, tznorm, znorm, ztnorm
 from ..config import Config
-from ..io.nist import ScoreLine, read_nist_scores, write_nist_scores
+from ..io.nist import ScoreLine, write_nist_scores
 from .common import setup_verbose
+
+
+def _read_lines(path: str, fields: tuple[int, int, int, int]
+                ) -> list[ScoreLine]:
+    """Read a score file honouring configurable field positions
+    (fieldGender, fieldName, fieldSeg, fieldLLR)."""
+    fg, fn, fs, fl = fields
+    out: list[ScoreLine] = []
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            p = line.split()
+            if len(p) <= max(fg, fn, fs, fl):
+                continue
+            out.append(ScoreLine(p[fg], p[fn], "-", p[fs], float(p[fl])))
+    return out
 
 
 def _score_matrix(lines: list[ScoreLine]
@@ -33,38 +52,50 @@ def _score_matrix(lines: list[ScoreLine]
 def main(cfg: Config) -> list[ScoreLine]:
     verbose = setup_verbose(cfg)
     mode = cfg.get_str("normType", "tnorm")   # tnorm|znorm|ztnorm|tznorm
-    use_median = cfg.get_str("meanMode", "mean") == "median"
-    main_lines = read_nist_scores(cfg.get_str("testNistFile"))
+    mean_mode = cfg.get_str("meanMode", "0")
+    use_median = mean_mode in ("1", "median")
+    percent_h = cfg.get_float("percentH", 0.0)
+    percent_l = cfg.get_float("percentL", 0.0)
+    fields = (cfg.get_int("fieldGender", 0), cfg.get_int("fieldName", 1),
+              cfg.get_int("fieldSeg", 3), cfg.get_int("fieldLLR", 4))
+    imp_ids: set[str] | None = None
+    if cfg.exists("impostorIDList"):
+        with open(cfg.get_str("impostorIDList")) as f:
+            imp_ids = {ln.split()[0] for ln in f if ln.strip()}
+
+    main_lines = _read_lines(cfg.get_str("testNistFile"), fields)
     scores, models, segs = _score_matrix(main_lines)
     if np.isnan(scores).any():
         scores = np.where(np.isnan(scores), np.nanmin(scores), scores)
     s = jnp.asarray(scores, jnp.float32)
 
-    def load_matrix(key: str):
-        lines = read_nist_scores(cfg.get_str(key))
+    def load_matrix(key: str, imp_models: bool):
+        lines = _read_lines(cfg.get_str(key), fields)
+        if imp_ids is not None and imp_models:
+            lines = [l for l in lines if l.model in imp_ids]
         return _score_matrix(lines)
 
+    kw = dict(use_median=use_median, percent_h=percent_h,
+              percent_l=percent_l)
     if mode == "tnorm":
         # impostor models scored against the SAME test segments
-        imp, _, imp_segs = load_matrix("tnormNistFile")
+        imp, _, imp_segs = load_matrix("tnormNistFile", imp_models=True)
         order = [imp_segs.index(x) for x in segs]
-        out = tnorm(s, jnp.asarray(imp[:, order], jnp.float32),
-                    use_median=use_median)
+        out = tnorm(s, jnp.asarray(imp[:, order], jnp.float32), **kw)
     elif mode == "znorm":
-        imp, imp_models, _ = load_matrix("znormNistFile")
+        imp, imp_models, _ = load_matrix("znormNistFile", imp_models=False)
         order = [imp_models.index(m) for m in models]
-        out = znorm(s, jnp.asarray(imp[order], jnp.float32),
-                    use_median=use_median)
+        out = znorm(s, jnp.asarray(imp[order], jnp.float32), **kw)
     elif mode in ("ztnorm", "tznorm"):
-        impz, impz_models, _ = load_matrix("znormNistFile")
-        impt, _, impt_segs = load_matrix("tnormNistFile")
-        impc, _, _ = load_matrix("ztnormNistFile")
+        impz, impz_models, _ = load_matrix("znormNistFile", imp_models=False)
+        impt, _, impt_segs = load_matrix("tnormNistFile", imp_models=True)
+        impc, _, _ = load_matrix("ztnormNistFile", imp_models=True)
         zorder = [impz_models.index(m) for m in models]
         torder = [impt_segs.index(x) for x in segs]
         fn = ztnorm if mode == "ztnorm" else tznorm
         out = fn(s, jnp.asarray(impz[zorder], jnp.float32),
                  jnp.asarray(impt[:, torder], jnp.float32),
-                 jnp.asarray(impc, jnp.float32), use_median=use_median)
+                 jnp.asarray(impc, jnp.float32), **kw)
     else:
         raise ValueError(f"unknown normType {mode}")
 

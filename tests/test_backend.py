@@ -174,3 +174,35 @@ def test_eer_min_dcf_sanity(rng):
     assert 0.0 < d <= 1.0
     # perfect separation
     assert eer(imp + 100.0, imp) == 0.0
+
+
+def test_norm_percentile_trim_and_median_reference_semantics():
+    """Oracle for DistribNorm::computeMeanStd (ComputeNorm.cpp:121-159):
+    drop size*percentH highest + size*percentL lowest after descending
+    sort; meanMode 1 = median location + mean-absolute-deviation scale."""
+    from lia_ral_tpu.backend.norm import _stats
+    rng = np.random.default_rng(0)
+    sc = rng.standard_normal((4, 20))
+
+    def oracle(row, ph, pl, median):
+        srt = np.sort(row)[::-1]
+        n = len(row)
+        dh, dl = int(n * ph), int(n * pl)
+        kept = srt[dh:n - dl]
+        if median:
+            mu = kept[len(kept) // 2]
+            return mu, np.mean(np.abs(kept - mu))
+        return np.mean(kept), np.std(kept)
+
+    mu, sd = _stats(jnp.asarray(sc), axis=1, percent_h=0.1, percent_l=0.2)
+    for i in range(4):
+        m, s = oracle(sc[i], 0.1, 0.2, False)
+        assert abs(float(mu[i]) - m) < 1e-5
+        assert abs(float(sd[i]) - s) < 1e-5
+    mu, sd = _stats(jnp.asarray(sc), axis=1, use_median=True,
+                    percent_h=0.1, percent_l=0.1)
+    for i in range(4):
+        m, s = oracle(sc[i], 0.1, 0.1, True)
+        # jnp.median interpolates on even counts; kept size here is odd (16)
+        assert abs(float(sd[i]) - np.mean(np.abs(
+            np.sort(sc[i])[::-1][2:18] - float(mu[i])))) < 1e-5

@@ -174,3 +174,65 @@ def test_read_reference_scores():
     nist = read_nist_scores(os.path.join(
         REFERENCE, "LIA_Utils/Scoring/test/score.nist"))
     assert nist[0].gender == "F" and nist[0].decision == "-"
+
+
+def test_reference_result_line_formats():
+    from lia_ral_tpu.io.nist import (format_etf_line, format_liaral_line,
+                                     format_mdtm_line, format_nist04_line)
+    assert format_liaral_line("F", "c1", "A", "t1", "0", "20", -0.02) == \
+        "F c1 A t1 0 20 -0.02"
+    assert format_nist04_line("1side", "n", "1side", "m", "c", "s", "t",
+                              1.5) == "1side n 1side m c s t 1.5"
+    assert format_etf_line("f", "1", "0.0", 2.5, "spk", "sub", "ev", 0.25,
+                           "true") == "f 1 0.0 2.5 spk sub ev 0.25 true"
+    assert format_mdtm_line("f", "1", "0.0", 2.5, "speaker", 0.9, "S0") == \
+        "f 1 0.0 2.5 speaker 0.9 S0"
+
+
+def test_svmlight_vector_roundtrip(tmp_path):
+    import numpy as np
+    from lia_ral_tpu.io.nist import (read_svmlight_vector,
+                                     write_svmlight_vector)
+    v = np.array([0.5, -1.25, 3.0])
+    p = str(tmp_path / "vec.svml")
+    write_svmlight_vector(p, v, label=1)
+    lab, back = read_svmlight_vector(p)
+    assert lab == 1
+    np.testing.assert_allclose(back, v)
+
+
+def test_fileinfo_binary_roundtrip(tmp_path):
+    import numpy as np
+    from lia_ral_tpu.fa.topgauss import read_fileinfo, write_fileinfo
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 512, size=(7, 10))
+    lk = rng.standard_normal(7)
+    w = rng.random(7)
+    p = str(tmp_path / "side.info")
+    write_fileinfo(p, idx, lk, w)
+    # record layout parity: top*u8 + 2*f8 per frame (FileInfo.cpp:155-187)
+    assert (tmp_path / "side.info").stat().st_size == 7 * (10 * 8 + 16)
+    i3, lk3, w3 = read_fileinfo(p, top=10, frame=3)
+    np.testing.assert_array_equal(i3, idx[3])
+    assert lk3 == lk[3] and w3 == w[3]
+    all_i, all_lk, all_w = read_fileinfo(p, top=10)
+    np.testing.assert_array_equal(all_i, idx)
+    np.testing.assert_allclose(all_lk, lk)
+    np.testing.assert_allclose(all_w, w)
+
+
+def test_topgauss_reference_binary_roundtrip(tmp_path):
+    import numpy as np
+    from lia_ral_tpu.fa.topgauss import TopGauss
+    rng = np.random.default_rng(1)
+    tg = TopGauss(
+        indices=rng.integers(0, 64, size=(5, 3)).astype(np.int32),
+        top_lse=np.zeros(5),
+        residual_log=np.log(rng.random(5) + 1e-3),
+        residual_weight=rng.random(5))
+    p = str(tmp_path / "file.ngauss")
+    tg.save_reference(p)
+    back = TopGauss.load_reference(p)
+    np.testing.assert_array_equal(back.indices, tg.indices)
+    np.testing.assert_allclose(back.residual_log, tg.residual_log)
+    np.testing.assert_allclose(back.residual_weight, tg.residual_weight)
