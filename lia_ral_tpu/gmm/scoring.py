@@ -112,3 +112,43 @@ def compute_test_llr(
 def stack_gmms(gmms: list[GmmDiag]) -> GmmDiag:
     """Stack a list of same-shape GMMs into one pytree with leading C axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *gmms)
+
+
+def set_decision(llr, threshold: float):
+    """Reference setDecision (GeneralTools.cpp:232): 1 iff LLR >= thr."""
+    return jnp.where(jnp.asarray(llr) >= threshold, 1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("top_data", "top_model"))
+def likelihood_gd(data: GmmDiag, model: GmmDiag,
+                  top_data: int | None = None,
+                  top_model: int | None = None) -> jax.Array:
+    """Model-vs-model expected likelihood — reference likelihoodGD
+    (GeneralTools.cpp:816-855): for each (top-weight) data component d,
+    lk(d) = Σ_m w_m · cst_m · exp(−½ Σ_i (cov_d + Δμ²)/cov_m), and the
+    result is Σ_d w_d · log lk(d).  TabWeight component selection
+    (GeneralTools.h:153+) = top-N by weight.
+
+    Batched on TPU as a (Kd, Km) pairwise block: the Σ_i contraction is a
+    matmul of [cov_d + μ_d², μ_d, 1] against the model's precision
+    features, the same augmented-design trick as the frame kernels.
+    """
+    kd, km = data.n_components, model.n_components
+    top_data = kd if top_data is None else min(top_data, kd)
+    top_model = km if top_model is None else min(top_model, km)
+    wd, di = jax.lax.top_k(data.weights, top_data)
+    wm, mi = jax.lax.top_k(model.weights, top_model)
+    d_mean, d_cov = data.means[di], data.cov[di]            # (kd,D)
+    m_mean, m_inv = model.means[mi], model.cov_inv[mi]      # (km,D)
+    # Σ_i (cov_d + (μd−μm)²)·inv_m  =  (cov_d+μd²)·inv_m − 2 μd·(μm inv_m)
+    #                                  + (μm² inv_m)
+    a = jnp.concatenate([d_cov + d_mean ** 2, d_mean,
+                         jnp.ones((top_data, 1), d_mean.dtype)], axis=-1)
+    b = jnp.concatenate([m_inv, -2.0 * m_mean * m_inv,
+                         jnp.sum(m_mean ** 2 * m_inv, axis=-1,
+                                 keepdims=True)], axis=-1)
+    quad = a @ b.T                                          # (kd,km)
+    log_terms = model.log_const()[mi][None, :] + jnp.log(wm)[None, :] \
+        - 0.5 * quad
+    lk_comp = jax.nn.logsumexp(log_terms, axis=-1)          # (kd,) log lk(d)
+    return jnp.sum(wd * lk_comp)

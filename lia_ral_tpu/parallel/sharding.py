@@ -159,3 +159,32 @@ def shard_along_axis(mesh: Mesh, arr: jax.Array, axis_name: str = "data"):
     """Place an array with its leading axis sharded over ``axis_name``."""
     spec = P(axis_name)
     return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def sharded_tv_e_step(mesh: Mesh, stats, model, chunk: int = 64):
+    """TV E-step with the speaker axis sharded over mesh axis "data".
+
+    The reference threads estimateAandC over speakers with shared A/C
+    accumulators under mutexes (AccumulateTVStat.cpp:1798-1799,1944);
+    here each device accumulates its speaker shard's TvAccums and the
+    pytree is psum-merged over ICI.  The per-speaker i-vector posteriors
+    w stay sharded (all_gather-free — they are consumed shard-local by
+    downstream per-speaker work).
+
+    Returns (w (S,R) sharded over "data", TvAccums replicated).
+    """
+    from ..fa.stats import BwStats
+    from ..fa.tv import tv_e_step
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P()),
+        out_specs=(P("data"), P()),
+        check_vma=False,   # scan carry starts unvarying (zeros init)
+    )
+    def _estep(n_loc, f_loc, mdl):
+        w, acc = tv_e_step(BwStats(n=n_loc, f=f_loc), mdl, chunk=chunk)
+        return w, jax.lax.psum(acc, axis_name="data")
+
+    return _estep(stats.n, stats.f, model)

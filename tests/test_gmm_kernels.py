@@ -192,3 +192,32 @@ def test_global_mean_cov(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(cov), np.asarray(x).var(0),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_likelihood_gd_matches_scalar_oracle():
+    """Scalar oracle for reference likelihoodGD (GeneralTools.cpp:816-855)."""
+    from lia_ral_tpu.gmm.scoring import likelihood_gd, set_decision
+    rng = np.random.default_rng(3)
+    K, D = 6, 5
+    mk = lambda: GmmDiag.create(
+        rng.dirichlet(np.ones(K)), rng.standard_normal((K, D)),
+        1.0 / (rng.random((K, D)) + 0.3))
+    data, model = mk(), mk()
+    d_cov = 1.0 / np.asarray(data.cov_inv)
+    m_cov = 1.0 / np.asarray(model.cov_inv)
+    m_cst = (2 * np.pi) ** (-D / 2) * np.prod(m_cov, axis=1) ** -0.5
+    expected = 0.0
+    for a in range(K):
+        lk = 0.0
+        for b in range(K):
+            diff = np.asarray(data.means)[a] - np.asarray(model.means)[b]
+            part = np.sum((d_cov[a] + diff ** 2) / m_cov[b])
+            lk += float(model.weights[b]) * m_cst[b] * np.exp(-0.5 * part)
+        expected += float(data.weights[a]) * np.log(lk)
+    got = float(likelihood_gd(data, model))
+    assert abs(got - expected) < 1e-3 * abs(expected)
+    # top-N selection path compiles and runs
+    got_top = float(likelihood_gd(data, model, top_data=3, top_model=4))
+    assert np.isfinite(got_top)
+    assert int(set_decision(0.5, 0.2)) == 1
+    assert int(set_decision(0.1, 0.2)) == 0

@@ -79,3 +79,26 @@ def test_2d_sharded_equals_serial(rng):
     for a, b in zip(jax.tree.leaves(serial), jax.tree.leaves(shard)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_tv_e_step_equals_serial(rng):
+    """Speaker-sharded TV E-step psum == serial (the reference's threaded
+    estimateAandC under mutexes, AccumulateTVStat.cpp:1944)."""
+    from lia_ral_tpu.fa.stats import BwStats
+    from lia_ral_tpu.fa.tv import TvModel, init_t, tv_e_step
+    from lia_ral_tpu.parallel.sharding import sharded_tv_e_step
+
+    k, d, r, s = 4, 3, 2, 16
+    gmm = random_gmm(rng, k, d)
+    model = init_t(jax.random.PRNGKey(0), r, gmm)
+    stats = BwStats(
+        n=jnp.asarray(rng.random((s, k)) * 20 + 1, jnp.float32),
+        f=jnp.asarray(rng.standard_normal((s, k, d)) * 5, jnp.float32))
+    mesh = make_mesh()
+    w_ser, acc_ser = tv_e_step(stats, model, chunk=4)
+    w_sh, acc_sh = sharded_tv_e_step(mesh, stats, model, chunk=2)
+    np.testing.assert_allclose(np.asarray(w_sh), np.asarray(w_ser),
+                               rtol=2e-3, atol=2e-3)
+    for a, b in zip(jax.tree.leaves(acc_ser), jax.tree.leaves(acc_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
