@@ -56,13 +56,17 @@ def main() -> None:
     # warmup: forces (remote) compile + one real execution
     g1, llk = em_iteration(x, w, gmm)
     float(llk)
-    # timed: chained fresh-input iterations, value-fetch each step
+    # timed: chained fresh-input iterations (model feeds back, so no
+    # request/result caching can short-circuit), ONE value fetch at the
+    # end — the fetch synchronises the whole queued chain, so the
+    # measurement is sustained device throughput, not per-dispatch
+    # tunnel latency
     iters = 5
     t0 = time.perf_counter()
     g = g1
     for _ in range(iters):
         g, llk = em_iteration(x, w, g)
-        float(llk)
+    float(llk)
     dt = (time.perf_counter() - t0) / iters
     audio_seconds = N_FRAMES / 100.0
     rate = audio_seconds / dt
