@@ -11,7 +11,8 @@ import struct
 
 import numpy as np
 
-from .server import (A_SEND, F_LOAD, F_RESET, F_SAVE, F_SEND, G_LIST,
+from .server import (A_LOAD, A_RESET, A_SAVE, A_SEND,
+                     F_LOAD, F_RESET, F_SAVE, F_SEND, G_LIST,
                      G_QUIT, G_RESET, G_SENDOPT, G_STATUS, I_DET, I_DETCUM,
                      I_DETCUMR, I_ID, I_IDCUM, M_ADAPT, M_DEL, M_LOAD,
                      M_RESET, M_SAVE, M_TRAIN, M_WLOAD, RSD_NO_ERROR,
@@ -60,6 +61,33 @@ class RemoteSpkDetClient:
 
     def send_option(self, key: str, value: str) -> None:
         send_command(self.sock, G_SENDOPT, f"{key} {value}\0".encode())
+        self._status()
+
+    # -- audio (A_*: raw PCM parameterized server-side) ----------------------
+    def reset_audio(self) -> None:
+        send_command(self.sock, A_RESET)
+        self._status()
+
+    def send_audio(self, signal: np.ndarray, chunk_frames: int = 8192
+                   ) -> None:
+        """Stream a float [-1,1] signal as 16-bit PCM packets; a zero-size
+        packet ends the stream and triggers MFCC parameterization
+        (reference A_Send multi-packet protocol, SpkDetServer.cpp:294)."""
+        pcm = (np.clip(np.asarray(signal), -1.0, 1.0)
+               * 32767.0).astype("<i2").tobytes()
+        step = chunk_frames * 2
+        for off in range(0, len(pcm), step):
+            send_command(self.sock, A_SEND, pcm[off:off + step])
+            self._status()
+        send_command(self.sock, A_SEND)
+        self._status()
+
+    def save_audio(self, path: str) -> None:
+        send_command(self.sock, A_SAVE, (path + "\0").encode())
+        self._status()
+
+    def load_audio_file(self, path: str) -> None:
+        send_command(self.sock, A_LOAD, (path + "\0").encode())
         self._status()
 
     # -- features ----------------------------------------------------------

@@ -65,6 +65,13 @@ class SpkDetServer:
         self.host = host
         self.port = port
         self._sock: socket.socket | None = None
+        self._audio = bytearray()   # raw PCM buffered across A_SEND packets
+
+    @staticmethod
+    def _pcm_to_signal(pcm: bytes) -> np.ndarray:
+        """16-bit little-endian PCM → float signal in [-1, 1]."""
+        return np.frombuffer(pcm[:len(pcm) - len(pcm) % 2],
+                             "<i2").astype(np.float32) / 32768.0
 
     # -- handlers -------------------------------------------------------------
     def _ok(self, sock, extra: bytes = b"") -> None:
@@ -82,6 +89,7 @@ class SpkDetServer:
                 return False
             if cmd == G_LIST:
                 self._ok(sock, b"G_QUIT G_LIST G_RESET G_STATUS G_SENDOPT "
+                               b"A_RESET A_SAVE A_LOAD A_SEND "
                                b"F_RESET F_SAVE F_LOAD F_SEND M_RESET M_SAVE "
                                b"M_LOAD M_WLOAD M_DEL M_ADAPT M_TRAIN I_DET "
                                b"I_ID I_DETCUM I_IDCUM I_DETCUMR I_IDCUMR\0")
@@ -97,6 +105,29 @@ class SpkDetServer:
             elif cmd == G_SENDOPT:
                 key, _, val = data.decode().rstrip("\0").partition(" ")
                 self.cfg[key] = val
+                self._ok(sock)
+            elif cmd == A_RESET:
+                self._audio = bytearray()
+                self._ok(sock)
+            elif cmd == A_SAVE:
+                with open(data.decode().rstrip("\0"), "wb") as f:
+                    f.write(bytes(self._audio))
+                self._ok(sock)
+            elif cmd == A_LOAD:
+                with open(data.decode().rstrip("\0"), "rb") as f:
+                    pcm = f.read()
+                w.add_audio(self._pcm_to_signal(pcm))
+                self._audio = bytearray(pcm)
+                self._ok(sock)
+            elif cmd == A_SEND:
+                # multi-packet raw-PCM stream; a zero-size packet ends the
+                # stream and triggers parameterization (SpkDetServer.cpp:
+                # 294-337: buffered to a temp file, then worker->addAudio)
+                if data:
+                    self._audio.extend(data)
+                else:
+                    w.add_audio(self._pcm_to_signal(bytes(self._audio)))
+                    self._audio = bytearray()
                 self._ok(sock)
             elif cmd == F_RESET:
                 w.reset_features()

@@ -124,3 +124,28 @@ def test_server_error_handling(world_and_data):
         cli.close()
     finally:
         srv.stop()
+
+
+def test_tcp_audio_commands(tmp_path):
+    """A_* protocol: stream PCM packets, zero-size packet parameterizes;
+    A_SAVE/A_LOAD round-trip the raw audio (SpkDetServer.cpp:294-337)."""
+    rng = np.random.default_rng(1)
+    srv = SpkDetServer(Config(), port=0)
+    port = srv.start()
+    try:
+        cli = RemoteSpkDetClient(port=port)
+        sig = rng.standard_normal(16000).astype(np.float32) * 0.1
+        cli.send_audio(sig, chunk_frames=4000)   # 2 packets + terminator
+        assert "features=" in cli.status()
+        n1 = int(cli.status().split("features=")[1].split()[0])
+        assert n1 > 90                            # ~1 s of 10 ms frames
+        # save buffered audio (empty after parameterization) then reload
+        pcm_path = str(tmp_path / "sig.pcm")
+        (np.clip(sig, -1, 1) * 32767).astype("<i2").tofile(pcm_path)
+        cli.load_audio_file(pcm_path)
+        n2 = int(cli.status().split("features=")[1].split()[0])
+        assert n2 > n1
+        cli.reset_audio()
+        cli.close()
+    finally:
+        srv.stop()
