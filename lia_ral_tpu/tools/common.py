@@ -74,3 +74,24 @@ def mixture_path(name: str, cfg: Config, save: bool = False) -> str:
 
 def setup_verbose(cfg: Config) -> bool:
     return cfg.get_bool("verbose", False)
+
+
+def resolve_stats_fn(cfg: Config):
+    """Honour the reference's ``numThread`` knob (AccumulateStat.cpp:236):
+    the pthread pool maps to data-parallel sharding — shard the frame axis
+    over min(numThread, available devices) and psum the stats.  Returns
+    None (single-device default kernel) when no parallelism is requested
+    or only one device is visible."""
+    n_thread = cfg.get_int("numThread", 1)
+    if n_thread <= 1:
+        return None
+    import jax
+
+    from ..parallel.mesh import make_mesh
+    from ..parallel.sharding import sharded_stats_fn
+
+    n = min(n_thread, len(jax.devices()))
+    if n <= 1:
+        return None
+    mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
+    return sharded_stats_fn(mesh)

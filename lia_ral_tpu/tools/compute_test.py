@@ -97,9 +97,14 @@ def main(cfg: Config) -> list[ScoreLine]:
     threshold = cfg.get_float("decisionThreshold", 0.0)
     segmental = cfg.get_bool("segmentLLR", False)
     frame_length = cfg.get_float("frameLength", 0.01)
+    # maxTargetLine caps clients per NDX line (ComputeTest.cpp:107);
+    # nbMaxMixtureInMemory bounds the client-model cache (cpp:212-216)
+    max_clients = cfg.get_int("maxTargetLine", 100)
+    max_cached = cfg.get_int("nbMaxMixtureInMemory", 0)
     results: list[ScoreLine] = []
     model_cache: dict[str, GmmDiag] = {}
     for test_name, model_names in ndx:
+        model_names = model_names[:max_clients]
         fs, mask = load_features_and_mask([test_name], cfg)
         if mask.sum() == 0:
             print(f"ATTENTION, TEST FILE [{test_name}] is empty")
@@ -107,6 +112,8 @@ def main(cfg: Config) -> list[ScoreLine]:
         clients = []
         for mn in model_names:
             if mn not in model_cache:
+                if max_cached and len(model_cache) >= max_cached:
+                    model_cache.clear()
                 model_cache[mn] = GmmDiag.load(mixture_path(mn, cfg))
             clients.append(model_cache[mn])
         stacked = stack_gmms(clients)

@@ -49,7 +49,13 @@ def main(cfg: Config) -> dict[str, GmmDiag]:
     out: dict[str, GmmDiag] = {}
     for line_no, (client, files) in enumerate(read_ndx(ndx_path)):
         try:
-            fs, mask = load_features_and_mask(files, cfg)
+            # useIdForSelectedFrame (GeneralTools.cpp:866): the client id
+            # is the frame-selection label for its own files
+            ccfg = cfg
+            if cfg.get_bool("useIdForSelectedFrame", False):
+                ccfg = cfg.copy()
+                ccfg["labelSelectedFrames"] = client
+            fs, mask = load_features_and_mask(files, ccfg)
         except FileNotFoundError as e:
             # reference warns and optionally falls back to the world model
             print(f"WARNING: no data for client [{client}]: {e}")

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from ..config import Config
 from ..gmm.em import TrainCfg, mixture_init, train_model
 from ..gmm.model import GmmDiag
-from .common import load_features_and_mask, mixture_path, resolve_list, setup_verbose
+from .common import (load_features_and_mask, mixture_path, resolve_list,
+                     resolve_stats_fn, setup_verbose)
 
 
 def main(cfg: Config) -> GmmDiag:
@@ -44,7 +45,8 @@ def main(cfg: Config) -> GmmDiag:
         if verbose:
             print(f"init from scratch: {k} components, "
                   f"{fs.nframes} frames ({int(mask.sum())} selected)")
-    world = train_model(key, x, w, init, tcfg, verbose=verbose)
+    world = train_model(key, x, w, init, tcfg,
+                        stats_fn=resolve_stats_fn(cfg), verbose=verbose)
     out = cfg.get_str("outputWorldFilename")
     world.save(mixture_path(out, cfg, save=True),
                fmt=cfg.get_str("saveMixtureFileFormat", "RAW"),

@@ -239,3 +239,29 @@ def test_spk_adapt_tool_modes(tmp_path):
                  "tnorm.nist")
     assert res_tn[0].score > res_tn[1].score
     assert np.isfinite([r.score for r in res_tn]).all()
+
+
+@requires_reference
+def test_train_world_num_thread_sharded(tmp_path):
+    """numThread > 1 maps to data-parallel sharded stats (the reference's
+    pthread pool, AccumulateStat.cpp:236) and converges to the same kind
+    of model as the serial path."""
+    d = str(tmp_path)
+    shutil.copy(os.path.join(FIX, "TrainWorld/test/test1.prm"), d)
+    shutil.copy(os.path.join(FIX, "TrainWorld/test/test1.lbl"), d)
+    cfg = Config.load(os.path.join(FIX, "TrainWorld/test/TrainWorld.cfg"))
+    for k in ("featureFilesPath", "mixtureFilesPath", "labelFilesPath",
+              "lstPath"):
+        cfg[k] = d + "/"
+    cfg["loadLabelFileExtension"] = ".lbl"
+    cfg["inputFeatureFilename"] = "test1"
+    cfg["nbTrainIt"] = 3
+    cfg["baggedFrameProbability"] = "1.0"
+    import numpy as np
+    w_serial = train_world.main(cfg)
+    cfg["numThread"] = "4"
+    cfg["outputWorldFilename"] = "wld_mt"
+    w_shard = train_world.main(cfg)
+    np.testing.assert_allclose(np.asarray(w_shard.means),
+                               np.asarray(w_serial.means),
+                               rtol=5e-3, atol=5e-3)
