@@ -180,3 +180,28 @@ def test_iv_norm_tool(pipeline):
     assert len(out) == len(tests)
     for v in out.values():
         np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-4)
+
+
+def test_iv_test_load_matrices_and_binary_output(pipeline):
+    """2cov scoring: estimate+save matrices, then reload with
+    load2covMatrix and binary score output — same decisions
+    (IvTest.cpp:243-253, 369-379, 441-465)."""
+    d, base, enroll, tests = pipeline
+    e1, res1 = _score(d, base, enroll, tests, "2cov",
+                      {"ivNorm": "true", "ivNormIterationNb": 2,
+                       "TwoCovFilename": "2covtest"})
+    assert os.path.isfile(os.path.join(d, "2covtest_W.matx"))
+    # reload path: EFR params + 2cov matrices from disk, no dev estimation
+    e2, res2 = _score(d, base, enroll, tests, "2cov",
+                      {"ivNorm": "true", "ivNormIterationNb": 2,
+                       "ivNormLoadParam": "true",
+                       "TwoCovFilename": "2covtest",
+                       "load2covMatrix": "true",
+                       "outputScoreFormat": "binary",
+                       "outputFilename": os.path.join(d, "scores_bin")})
+    assert os.path.isfile(os.path.join(d, "scores_bin_model.txt"))
+    assert os.path.isfile(os.path.join(d, "scores_bin.matx"))
+    from lia_ral_tpu.io.matrix import read_matrix_file
+    mat = read_matrix_file(os.path.join(d, "scores_bin.matx"))
+    assert mat.shape == (len(enroll), len(tests))
+    assert e2 <= e1 + 0.1
