@@ -54,6 +54,36 @@ class PldaModel:
         return cls(mean=jnp.asarray(z["mean"]), f=jnp.asarray(z["f"]),
                    g=jnp.asarray(z["g"]), sigma=jnp.asarray(z["sigma"]))
 
+    # -- reference on-disk format (PldaModel::saveModel, PldaTools.cpp:
+    # 2816-2948): five .matx files — mean (R,1), F (R,rankF), G (R,rankG),
+    # Sigma (R,R), minDivMean (R,1) ----------------------------------------
+    def save_reference(self, mean_path: str, f_path: str, g_path: str,
+                       sigma_path: str, min_div_mean_path: str) -> None:
+        from ..io.matrix import write_matrix_file
+        write_matrix_file(mean_path, np.asarray(self.mean,
+                                                np.float64)[:, None])
+        write_matrix_file(f_path, np.asarray(self.f, np.float64))
+        write_matrix_file(g_path, np.asarray(self.g, np.float64))
+        write_matrix_file(sigma_path, np.asarray(self.sigma, np.float64))
+        write_matrix_file(min_div_mean_path,
+                          np.asarray(self.mean, np.float64)[:, None])
+
+    @classmethod
+    def load_reference(cls, mean_path: str, f_path: str, g_path: str | None,
+                       sigma_path: str) -> "PldaModel":
+        from ..io.matrix import read_matrix_file
+        mean = read_matrix_file(mean_path).ravel()
+        f = read_matrix_file(f_path)
+        sigma = read_matrix_file(sigma_path)
+        g = (read_matrix_file(g_path) if g_path
+             else np.zeros((f.shape[0], 0)))
+        if g.ndim == 1:
+            g = g.reshape(f.shape[0], -1)
+        return cls(mean=jnp.asarray(mean, jnp.float32),
+                   f=jnp.asarray(f, jnp.float32),
+                   g=jnp.asarray(g, jnp.float32),
+                   sigma=jnp.asarray(sigma, jnp.float32))
+
     @classmethod
     def init(cls, key: jax.Array, dim: int, rank_f: int, rank_g: int = 0,
              data_mean=None, data_cov=None) -> "PldaModel":
@@ -148,14 +178,16 @@ def plda_em_iteration(model: PldaModel, dev: DevSet) -> PldaModel:
 
 
 def plda_train(key: jax.Array, dev: DevSet, rank_f: int, rank_g: int = 0,
-               n_iterations: int = 10, verbose: bool = False) -> PldaModel:
-    """Full trainer (reference PLDA.cpp:74-99: center → EM loop → save)."""
+               n_iterations: int = 10, verbose: bool = False,
+               init: PldaModel | None = None) -> PldaModel:
+    """Full trainer (reference PLDA.cpp:74-99: center → EM loop → save).
+    ``init`` warm-starts EM from a loaded model (pldaLoadInitMatrices)."""
     x = dev.vectors
     mean = jnp.mean(x, axis=0)
     xc = x - mean[None, :]
     cov = (xc.T @ xc) / x.shape[0]
-    model = PldaModel.init(key, x.shape[1], rank_f, rank_g,
-                           data_mean=mean, data_cov=cov)
+    model = init if init is not None else PldaModel.init(
+        key, x.shape[1], rank_f, rank_g, data_mean=mean, data_cov=cov)
     for it in range(n_iterations):
         model = plda_em_iteration(model, dev)
         if verbose:

@@ -205,3 +205,33 @@ def test_iv_test_load_matrices_and_binary_output(pipeline):
     mat = read_matrix_file(os.path.join(d, "scores_bin.matx"))
     assert mat.shape == (len(enroll), len(tests))
     assert e2 <= e1 + 0.1
+
+
+def test_plda_reference_matrix_roundtrip_and_warm_start(pipeline):
+    """PLDA saves the reference's five-matrix file set and warm-starts EM
+    from them (pldaLoadInitMatrices, PldaTools.cpp:2074-2108)."""
+    d, base, enroll, tests = pipeline
+    cfg = Config(base)
+    cfg["backgroundNdxFilename"] = os.path.join(d, "dev.ndx")
+    cfg["pldaEigenVoiceNumber"] = 3
+    cfg["pldaNbIt"] = 3
+    cfg["pldaModelFilename"] = os.path.join(d, "plda_ref.npz")
+    m1 = plda_tool.main(cfg)
+    for name in ("pldaMeanVec", "pldaEigenVoiceMatrix", "pldaSigmaMatrix",
+                 "pldaMinDivMean"):
+        assert os.path.isfile(os.path.join(d, name + ".matx")), name
+    from lia_ral_tpu.backend.plda import PldaModel
+    back = PldaModel.load_reference(
+        os.path.join(d, "pldaMeanVec.matx"),
+        os.path.join(d, "pldaEigenVoiceMatrix.matx"), None,
+        os.path.join(d, "pldaSigmaMatrix.matx"))
+    np.testing.assert_allclose(np.asarray(back.f), np.asarray(m1.f),
+                               atol=1e-6)
+    # warm start: one more EM iteration from the saved matrices
+    cfg["pldaLoadInitMatrices"] = "true"
+    cfg["pldaEigenVoiceMatrixInit"] = "pldaEigenVoiceMatrix"
+    cfg["pldaSigmaMatrixInit"] = "pldaSigmaMatrix"
+    cfg["pldaMeanVecInit"] = "pldaMeanVec"
+    cfg["pldaNbIt"] = 1
+    m2 = plda_tool.main(cfg)
+    assert np.isfinite(np.asarray(m2.f)).all()
