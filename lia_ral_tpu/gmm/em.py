@@ -62,15 +62,23 @@ class TrainCfg:
         )
 
 
-def default_stats_fn(chunk: int = 4096, block: int = 512):
+def default_stats_fn(chunk: int = 4096, block: int = 512,
+                     fast_math: bool = False):
     """Pick the fastest stats kernel for the current backend: the fused
     Pallas kernel on TPU (γ never leaves VMEM — ~20x over the XLA path at
-    K=2048), the chunked XLA path elsewhere."""
+    K=2048), the chunked XLA path elsewhere.
+
+    ``fast_math`` (config key ``fastMath``, the TPU analogue of the
+    reference's -ffast-math build, configure.ac:21) runs the log-density
+    matmul in bf16 on TPU; sufficient stats stay f32.
+    """
     if jax.default_backend() in ("tpu", "axon"):
         from .pallas_kernels import em_stats_fused
 
+        dt = jnp.bfloat16 if fast_math else None
+
         def fn(x, w, gmm):
-            return em_stats_fused(x, w, gmm, block=block)
+            return em_stats_fused(x, w, gmm, block=block, compute_dtype=dt)
         return fn
     return lambda x, w, g: em_stats_chunked(x, w, g, chunk=chunk)
 

@@ -43,7 +43,7 @@ from .model import GmmDiag
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
-def _em_stats_kernel(k, xa_ref, w_ref, b_ref, out_ref, acc_ref):
+def _em_stats_kernel(k, xa_ref, w_ref, b_ref, cst_ref, out_ref, acc_ref):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -53,8 +53,13 @@ def _em_stats_kernel(k, xa_ref, w_ref, b_ref, out_ref, acc_ref):
 
     xa = xa_ref[:]                                  # (BN, A) [x², x, 1, 0]
     wb = w_ref[:]                                   # (BN, 1)
-    ld = jnp.dot(xa, b_ref[:],
-                 preferred_element_type=jnp.float32)        # (BN, K)
+    # density matmul runs at the B matrix's dtype (bf16 in fast mode:
+    # softmax posteriors tolerate it); constant row stays f32 so the
+    # log-weight/normaliser offsets never lose precision; the stats
+    # matmul stays f32 — bf16 sufficient stats would feed the
+    # catastrophic E[x²]−E[x]² cancellation in the M-step
+    ld = jnp.dot(xa.astype(b_ref.dtype), b_ref[:],
+                 preferred_element_type=jnp.float32) + cst_ref[:]  # (BN, K)
     m = jnp.max(ld, axis=-1, keepdims=True)
     p = jnp.exp(ld - m)
     ssum = jnp.sum(p, axis=-1, keepdims=True)
@@ -74,10 +79,23 @@ def _em_stats_kernel(k, xa_ref, w_ref, b_ref, out_ref, acc_ref):
         out_ref[:] = acc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("block", "interpret", "compute_dtype"))
 def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
-                   block: int = 512, interpret: bool = False) -> EmStats:
-    """Drop-in fused replacement for kernels.em_stats_chunked."""
+                   block: int = 512, interpret: bool = False,
+                   compute_dtype=None) -> EmStats:
+    """Drop-in fused replacement for kernels.em_stats_chunked.
+
+    ``compute_dtype=jnp.bfloat16`` runs the log-density matmul with bf16
+    operands (f32 accumulation): the A=2D+2 contraction pads to the
+    128-lane MXU either way, and bf16 halves that pass's tile time.  The
+    sufficient-stats matmul stays f32 — bf16 stats feed the catastrophic
+    E[x²]−E[x]² cancellation in the M-step and visibly degrade EM.  This
+    is the TPU analogue of the reference's ``-ffast-math`` build flag
+    (configure.ac:21) — a speed/accuracy knob, off by default; EM
+    converges to the same likelihood within 5e-3 (see
+    tests/test_pallas_kernel.py).
+    """
     n, d = x.shape
     k = gmm.n_components
     a = 2 * d + 2
@@ -90,10 +108,12 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
     cst = (-0.5 * (d * _LOG_2PI - jnp.sum(jnp.log(gmm.cov_inv), axis=-1))
            - 0.5 * jnp.sum(gmm.means * mi, axis=-1)
            + jnp.log(gmm.weights))                  # (K,)
-    b = jnp.concatenate([-0.5 * gmm.cov_inv.T, mi.T, cst[None, :],
-                         jnp.zeros((1, k), jnp.float32)], axis=0)  # (A, K)
+    b = jnp.concatenate([-0.5 * gmm.cov_inv.T, mi.T,
+                         jnp.zeros((2, k), jnp.float32)], axis=0)  # (A, K)
     xa = jnp.concatenate([x * x, x, jnp.ones((total, 1), x.dtype),
                           jnp.zeros((total, 1), x.dtype)], axis=1)  # (N, A)
+    if compute_dtype is not None:
+        b = b.astype(compute_dtype)
     grid = total // block
     out = pl.pallas_call(
         functools.partial(_em_stats_kernel, k),
@@ -104,6 +124,7 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
             pl.BlockSpec((block, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((a, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((k + 1, a), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -115,7 +136,7 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
             bytes_accessed=total * a * 4 + k * a * 4 * 2,
             transcendentals=total * k,
         ),
-    )(xa, w[:, None], b)
+    )(xa, w[:, None], b, cst[None, :])
     return EmStats(n=out[:k, 2 * d], sum_x=out[:k, d:2 * d],
                    sum_xx=out[:k, :d],
                    llk=out[k, 0], count=out[k, 1])

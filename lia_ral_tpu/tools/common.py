@@ -84,6 +84,9 @@ def resolve_stats_fn(cfg: Config):
     or only one device is visible."""
     n_thread = cfg.get_int("numThread", 1)
     if n_thread <= 1:
+        if cfg.get_bool("fastMath", False):
+            from ..gmm.em import default_stats_fn
+            return default_stats_fn(fast_math=True)
         return None
     import jax
 
