@@ -210,6 +210,40 @@ def sequence_decode_main(cfg: Config):
     return results
 
 
+def label_ngram_main(cfg: Config):
+    """Transform a per-frame token stream into a label file via a
+    bag-of-ngram codebook (reference LabelNGram, LabelNGramMain.cpp
+    schema: inputFilename/NGramFilename/NGramOrder/NGramSelected/
+    symbolPath/symbolFileExtension/labelOutputPath/
+    saveLabelFileExtension)."""
+    from ..io.labels import Segment
+    from ..utils import label_ngram, read_ngram_codebook
+
+    order = cfg.get_int("NGramOrder", 3)
+    codebook = read_ngram_codebook(cfg.get_str("NGramFilename"), order,
+                                   cfg.get_int("NGramSelected", 16))
+    name = cfg.get_str("inputFilename")
+    sym_path = os.path.join(
+        cfg.get_str("symbolPath", "./"),
+        name + cfg.get_str("symbolFileExtension", ".sym"))
+    syms = read_simple_list(sym_path)
+    frame_length = cfg.get_float("frameLength", 0.01)
+    segs = None
+    if cfg.exists("labelInputPath"):
+        lbl = read_label_file(os.path.join(
+            cfg.get_str("labelInputPath"),
+            name + cfg.get_str("labelFileExtension", ".lbl")))
+        segs = [s.frames(frame_length) for s in lbl]
+    spans = label_ngram(syms, codebook, order, segments=segs)
+    out = [Segment(b * frame_length, e * frame_length, lab)
+           for b, e, lab in spans]
+    out_path = os.path.join(
+        cfg.get_str("labelOutputPath", "./"),
+        name + cfg.get_str("saveLabelFileExtension", ".sym.lbl"))
+    write_label_file(out_path, out)
+    return out
+
+
 def label_fusion_main(cfg: Config):
     files = read_simple_list(cfg.get_str("labelFileList"))
     seg_lists = [read_label_file(f) for f in files]
@@ -297,6 +331,7 @@ MODES = {
     "extractParams": extract_params_main, "polyExp": poly_exp_main,
     "gmmTokenizer": gmm_tokenizer_main, "bNgram": bngram_main,
     "sequenceDecode": sequence_decode_main,
+    "labelNgram": label_ngram_main,
     "labelFusion": label_fusion_main, "timeCluster": time_cluster_main,
     "svmTrain": svm_train_main, "svmPredict": svm_predict_main,
 }

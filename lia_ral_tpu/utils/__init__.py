@@ -9,7 +9,8 @@ from .scores import (
 )
 from .polyexp import poly_expand, poly_expansion_size
 from .tokenizer import gmm_tokenize, confusion_matrix
-from .ngram import ngram_counts, NGramModel, sequence_decode
+from .ngram import (ngram_counts, NGramModel, sequence_decode,
+                    label_ngram, read_ngram_codebook)
 from .labels import fuse_label_files, time_cluster_filter
 
 __all__ = [
@@ -18,5 +19,6 @@ __all__ = [
     "poly_expand", "poly_expansion_size",
     "gmm_tokenize", "confusion_matrix",
     "ngram_counts", "NGramModel", "sequence_decode",
+    "label_ngram", "read_ngram_codebook",
     "fuse_label_files", "time_cluster_filter",
 ]

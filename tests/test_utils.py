@@ -137,3 +137,35 @@ def test_svm_tool_roundtrip(tmp_path, rng):
     res = utils_tools.main(cfg2)
     by_seg = {r.seg: r.score for r in res}
     assert by_seg["probe_t"] > by_seg["probe_i"]
+
+
+def test_label_ngram(tmp_path):
+    from lia_ral_tpu.config import Config
+    from lia_ral_tpu.io.labels import read_label_file
+    from lia_ral_tpu.tools import utils_tools
+    from lia_ral_tpu.utils import label_ngram
+
+    # Runs: 1 1 | 2 | 3 3 3 | 2 | 1  → run symbols [1,2,3,2,1]
+    syms = [1, 1, 2, 3, 3, 3, 2, 1]
+    codebook = [(1, 2, 3), (3, 2, 1)]
+    spans = label_ngram(syms, codebook, 3)
+    # window (1,2,3) matches tag 1 over frames [0,6); window (2,3,2) is
+    # oov; window (3,2,1) matches tag 2 over frames [3,8).
+    assert (0, 6, "1") in spans and (3, 8, "2") in spans
+    assert not any(lab == "oov" for _, _, lab in spans)
+    # Pure-oov stream
+    spans2 = label_ngram([9, 9, 8], codebook, 3)
+    assert spans2 == [(0, 3, "oov")]
+
+    d = str(tmp_path)
+    with open(os.path.join(d, "u1.sym"), "w") as f:
+        f.write(" ".join(str(s) for s in syms))
+    with open(os.path.join(d, "cb.3gram"), "w") as f:
+        f.write("1 2 3 10\n3 2 1 4\n")
+    cfg = Config({"utilMode": "labelNgram", "inputFilename": "u1",
+                  "NGramFilename": os.path.join(d, "cb.3gram"),
+                  "NGramOrder": 3, "symbolPath": d + "/",
+                  "labelOutputPath": d + "/"})
+    utils_tools.main(cfg)
+    out = read_label_file(os.path.join(d, "u1.sym.lbl"))
+    assert [s.label for s in out] == ["1", "2"]
