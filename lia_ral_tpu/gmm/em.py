@@ -62,7 +62,7 @@ class TrainCfg:
         )
 
 
-def default_stats_fn(chunk: int = 4096, block: int = 512,
+def default_stats_fn(chunk: int = 4096, block: int = 1024,
                      fast_math: bool = False):
     """Pick the fastest stats kernel for the current backend: the fused
     Pallas kernel on TPU (γ never leaves VMEM — ~20x over the XLA path at

