@@ -1,10 +1,25 @@
-"""Benchmark: UBM EM throughput in audio-seconds per second per chip.
+"""Benchmark: north-star pipeline throughput in audio-seconds/s/chip.
 
-North-star metric (BASELINE.md): audio-seconds/s/chip for UBM EM.
-One EM iteration = full sufficient-statistics pass over N frames with a
-K-component diagonal GMM + closed-form M-step (the reference's
-TrainWorld hot loop, AccumulateStat.cpp:103-152).  Frames are 10 ms, so
-audio-seconds = frames / 100.
+North-star metric (BASELINE.md): audio-seconds/s/chip for **UBM EM +
+i-vector extraction**.  One pipeline pass over N frames (10 ms each) =
+
+  A. one UBM-EM sufficient-statistics pass + M-step (K=2048, D=39) via
+     the fused Pallas kernel (TrainWorld hot loop,
+     AccumulateStat.cpp:103-152);
+  B. one Baum-Welch (N,F) stats pass over the same frames as utterances
+     (ComputeJFAStats / TVAcc hot loop, AccumulateTVStat.cpp:281-351);
+  C. exact i-vector extraction, R=400, per utterance
+     (IvExtractor estimateW, AccumulateTVStat.cpp:2103-2267).
+
+vs_baseline divides by a MEASURED CPU figure (BASELINE_CPU.json): the
+reference's scalar EM hot loop re-implemented in C++
+(native/em_baseline.cpp, g++ -O3 -ffast-math), measured on this machine
+and extrapolated to 32 cores at PERFECT scaling — 2631 audio-s/s.  The
+CPU figure covers stage A only, while the TPU number pays for A+B+C, so
+the ratio understates the real speedup.
+
+Also validates the fused Pallas kernel ON-CHIP against the reference XLA
+path (allclose at K=2048) — reported in the same JSON line.
 
 Measurement notes for the axon tunnel platform:
 * ``block_until_ready`` does not synchronise — only a value fetch does;
@@ -12,32 +27,38 @@ Measurement notes for the axon tunnel platform:
   with a fetch, then time fresh executions;
 * iterations are chained (model feeds back) so no request/result caching
   can short-circuit the work.
-
-Baseline: the reference publishes no numbers (BASELINE.md).  The working
-reference point adopted there is a 32-core CPU running the C++ EM at an
-estimated 2000 audio-s/s for K=2048/D=39 (~200k frames/s; LIA_RAL scalar
-llk loop with per-component exp).  vs_baseline is measured/2000.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 K = 2048
 D = 39
-N_FRAMES = 1_000_000        # 10000 audio-seconds per iteration
+R = 400
+N_FRAMES = 1_000_000        # 10000 audio-seconds per pass
+T_UTT = 2000                # frames per utterance for stages B/C
 CHUNK = 16384
-BASELINE_AUDIO_S_PER_S = 2000.0
+
+_here = os.path.dirname(os.path.abspath(__file__))
+with open(os.path.join(_here, "BASELINE_CPU.json")) as _f:
+    _cpu = json.load(_f)
+BASELINE_AUDIO_S_PER_S = float(_cpu["baseline_32core_audio_s_per_s"])
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    from lia_ral_tpu.gmm.em import default_stats_fn, m_step
+    from lia_ral_tpu.fa.stats import BwStats
+    from lia_ral_tpu.fa.tv import TvModel, estimate_w
+    from lia_ral_tpu.gmm.em import m_step
+    from lia_ral_tpu.gmm.kernels import em_stats_chunked, llk_and_posteriors
     from lia_ral_tpu.gmm.model import GmmDiag
+    from lia_ral_tpu.gmm.pallas_kernels import em_stats_fused
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((N_FRAMES, D)), jnp.float32)
@@ -45,36 +66,97 @@ def main() -> None:
     gmm = GmmDiag.create(np.full(K, 1.0 / K),
                          rng.standard_normal((K, D)).astype(np.float32),
                          (rng.random((K, D)) + 0.5).astype(np.float32))
+    audio_seconds = N_FRAMES / 100.0
 
-    stats_fn = default_stats_fn(chunk=CHUNK)
-
+    # ---- stage A: fused EM iteration --------------------------------------
     @jax.jit
     def em_iteration(x, w, gmm):
-        stats = stats_fn(x, w, gmm)
+        stats = em_stats_fused(x, w, gmm)
         return m_step(stats), stats.llk
 
-    # warmup: forces (remote) compile + one real execution
     g1, llk = em_iteration(x, w, gmm)
-    float(llk)
-    # timed: chained fresh-input iterations (model feeds back, so no
-    # request/result caching can short-circuit), ONE value fetch at the
-    # end — the fetch synchronises the whole queued chain, so the
-    # measurement is sustained device throughput, not per-dispatch
-    # tunnel latency
+    float(llk)                                    # compile + one execution
     iters = 5
     t0 = time.perf_counter()
     g = g1
     for _ in range(iters):
         g, llk = em_iteration(x, w, g)
     float(llk)
-    dt = (time.perf_counter() - t0) / iters
-    audio_seconds = N_FRAMES / 100.0
-    rate = audio_seconds / dt
+    t_em = (time.perf_counter() - t0) / iters
+
+    # on-chip validation of the fused kernel vs the XLA reference path
+    sub = 65536
+    st_f = em_stats_fused(x[:sub], w[:sub], gmm)
+    st_c = em_stats_chunked(x[:sub], w[:sub], gmm, chunk=CHUNK)
+    fused_ok = bool(
+        np.allclose(np.asarray(st_f.n), np.asarray(st_c.n), rtol=2e-4,
+                    atol=2e-3)
+        and np.allclose(np.asarray(st_f.sum_x), np.asarray(st_c.sum_x),
+                        rtol=2e-4, atol=2e-2)
+        and abs(float(st_f.llk) - float(st_c.llk))
+        / max(abs(float(st_c.llk)), 1.0) < 1e-4)
+
+    # ---- stage B: Baum-Welch (N,F) stats over utterances ------------------
+    s_utts = N_FRAMES // T_UTT                    # 500
+    grp = 16
+    s_pad = ((s_utts + grp - 1) // grp) * grp
+    xu = jnp.concatenate(
+        [x, jnp.zeros((s_pad * T_UTT - N_FRAMES, D), x.dtype)]
+    ).reshape(s_pad // grp, grp, T_UTT, D)
+    mu_mask = (jnp.arange(s_pad) < s_utts).astype(jnp.float32)
+
+    @jax.jit
+    def bw_pass(xu, gmm):
+        def group(xg):
+            def one(xs):
+                _, post = llk_and_posteriors(xs, gmm)
+                n = jnp.sum(post, axis=0)
+                f = jnp.dot(post.T, xs, preferred_element_type=jnp.float32)
+                return n, f
+            return jax.vmap(one)(xg)
+        n, f = jax.lax.map(group, xu)
+        return n.reshape(s_pad, K), f.reshape(s_pad, K, D)
+
+    n_st, f_st = jax.tree.map(lambda a: a.block_until_ready(), bw_pass(xu, gmm))
+    float(n_st[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        n_st, f_st = bw_pass(xu, gmm)
+    float(n_st[0, 0])
+    t_bw = (time.perf_counter() - t0) / 3
+
+    # ---- stage C: exact i-vector extraction (R=400) -----------------------
+    t_mat = jnp.asarray(rng.standard_normal((R, K, D)) * 0.01, jnp.float32)
+    model = TvModel.from_ubm(t_mat, gmm)
+    stats = BwStats(n=n_st * mu_mask[:, None],
+                    f=f_st * mu_mask[:, None, None])
+
+    @jax.jit
+    def extract(stats):
+        return estimate_w(stats, model, chunk=64)
+
+    wv = extract(stats)
+    float(wv[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        wv = extract(stats)
+    float(wv[0, 0])
+    t_w = (time.perf_counter() - t0) / 3
+
+    total = t_em + t_bw + t_w
+    rate = audio_seconds / total
     print(json.dumps({
-        "metric": f"UBM-EM audio-seconds/s/chip (K={K}, D={D})",
+        "metric": f"UBM-EM + i-vector pipeline audio-s/s/chip "
+                  f"(K={K}, D={D}, R={R})",
         "value": round(rate, 1),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(rate / BASELINE_AUDIO_S_PER_S, 2),
+        "em_audio_s_per_s": round(audio_seconds / t_em, 1),
+        "bw_stats_audio_s_per_s": round(audio_seconds / t_bw, 1),
+        "ivextract_audio_s_per_s": round(audio_seconds / t_w, 1),
+        "pallas_fused_allclose_onchip": fused_ok,
+        "baseline_src": "BASELINE_CPU.json (measured, 32-core perfect-"
+                        "scaling extrapolation, EM stage only)",
     }))
 
 

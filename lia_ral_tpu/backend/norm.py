@@ -21,46 +21,88 @@ import jax.numpy as jnp
 
 
 def _stats(scores: jax.Array, axis: int, use_median: bool = False,
-           percent_h: float = 0.0, percent_l: float = 0.0
+           percent_h: float = 0.0, percent_l: float = 0.0,
+           mask: jax.Array | None = None
            ) -> tuple[jax.Array, jax.Array]:
     """Per-entity location/scale of impostor scores along ``axis``
-    (reference DistribNorm::computeMeanStd, ComputeNorm.cpp:121-159)."""
-    n = scores.shape[axis]
-    if percent_h or percent_l:
-        discard_h = int(n * percent_h)
-        discard_l = int(n * percent_l)
-        srt = jnp.sort(jnp.moveaxis(scores, axis, -1), axis=-1,
-                       descending=True)
-        scores = jnp.moveaxis(srt[..., discard_h:n - discard_l], -1, axis)
-        n = n - discard_h - discard_l
+    (reference DistribNorm::computeMeanStd, ComputeNorm.cpp:121-159).
+
+    ``mask`` (same shape, 1 = trial present) supports RAGGED impostor
+    distributions: the reference keeps per-entity score lists of varying
+    length (DistribNorm, cpp:96-365), so sparse trial matrices must be
+    reduced per-entity over the present scores only — never filled.
+    Trim counts and the median index become per-entity ranks, keeping
+    everything shape-static for jit."""
+    if mask is None:
+        n = scores.shape[axis]
+        if percent_h or percent_l:
+            discard_h = int(n * percent_h)
+            discard_l = int(n * percent_l)
+            srt = jnp.sort(jnp.moveaxis(scores, axis, -1), axis=-1,
+                           descending=True)
+            scores = jnp.moveaxis(srt[..., discard_h:n - discard_l], -1, axis)
+            n = n - discard_h - discard_l
+        if use_median:
+            # reference meanMode 1: location = median element, scale =
+            # mean absolute deviation (cpp:147-151)
+            mu = jnp.median(scores, axis=axis)
+            sd = jnp.mean(jnp.abs(scores - jnp.expand_dims(mu, axis)),
+                          axis=axis)
+        else:
+            mu = jnp.mean(scores, axis=axis)
+            sd = jnp.std(scores, axis=axis)    # biased, as cpp:145-146
+        return mu, jnp.maximum(sd, 1e-12)
+
+    s = jnp.moveaxis(scores, axis, -1)
+    m = jnp.moveaxis(mask, axis, -1).astype(jnp.float32)
+    s = jnp.where(m > 0, s, 0.0)      # absent trials may carry NaN fill
+    # sort descending with absent trials pushed to the end
+    key = jnp.where(m > 0, s, -jnp.inf)
+    order = jnp.argsort(-key, axis=-1)
+    ss = jnp.take_along_axis(s, order, axis=-1)
+    ms = jnp.take_along_axis(m, order, axis=-1)
+    cnt = jnp.sum(ms, axis=-1, keepdims=True)
+    rank = jnp.cumsum(ms, axis=-1) - ms            # rank among present
+    dh = jnp.floor(cnt * percent_h)
+    dl = jnp.floor(cnt * percent_l)
+    keep = (ms > 0) & (rank >= dh) & (rank < cnt - dl)
+    kf = keep.astype(jnp.float32)
+    ncnt = jnp.maximum(jnp.sum(kf, axis=-1), 1.0)
     if use_median:
-        # reference meanMode 1: location = median element, scale = mean
-        # absolute deviation (cpp:147-151)
-        mu = jnp.median(scores, axis=axis)
-        sd = jnp.mean(jnp.abs(scores - jnp.expand_dims(mu, axis)), axis=axis)
+        # lower-median element of the kept ragged list + MAD around it
+        med_rank = dh[..., 0] + jnp.floor((ncnt - 1.0) / 2.0)
+        is_med = (rank == med_rank[..., None]) & keep
+        mu = jnp.sum(jnp.where(is_med, ss, 0.0), axis=-1)
+        sd = jnp.sum(jnp.abs(ss - mu[..., None]) * kf, axis=-1) / ncnt
     else:
-        mu = jnp.mean(scores, axis=axis)
-        sd = jnp.std(scores, axis=axis)    # biased, as cpp:145-146
+        mu = jnp.sum(ss * kf, axis=-1) / ncnt
+        ex2 = jnp.sum(ss * ss * kf, axis=-1) / ncnt
+        sd = jnp.sqrt(jnp.maximum(ex2 - mu * mu, 0.0))
     return mu, jnp.maximum(sd, 1e-12)
 
 
 def znorm(scores: jax.Array, impostor_seg_scores: jax.Array,
           use_median: bool = False, percent_h: float = 0.0,
-          percent_l: float = 0.0) -> jax.Array:
+          percent_l: float = 0.0,
+          impostor_mask: jax.Array | None = None) -> jax.Array:
     """Z-norm: normalise per MODEL using its scores against impostor
-    segments.  scores (M,T); impostor_seg_scores (M, Z)."""
+    segments.  scores (M,T); impostor_seg_scores (M, Z);
+    impostor_mask (M, Z) marks present impostor trials (ragged lists)."""
     mu, sd = _stats(impostor_seg_scores, axis=1, use_median=use_median,
-                    percent_h=percent_h, percent_l=percent_l)
+                    percent_h=percent_h, percent_l=percent_l,
+                    mask=impostor_mask)
     return (scores - mu[:, None]) / sd[:, None]
 
 
 def tnorm(scores: jax.Array, impostor_model_scores: jax.Array,
           use_median: bool = False, percent_h: float = 0.0,
-          percent_l: float = 0.0) -> jax.Array:
+          percent_l: float = 0.0,
+          impostor_mask: jax.Array | None = None) -> jax.Array:
     """T-norm: normalise per SEGMENT using impostor-model scores against
     it.  scores (M,T); impostor_model_scores (I, T)."""
     mu, sd = _stats(impostor_model_scores, axis=0, use_median=use_median,
-                    percent_h=percent_h, percent_l=percent_l)
+                    percent_h=percent_h, percent_l=percent_l,
+                    mask=impostor_mask)
     return (scores - mu[None, :]) / sd[None, :]
 
 
@@ -68,25 +110,35 @@ def ztnorm(scores: jax.Array, impostor_seg_scores: jax.Array,
            impostor_model_scores: jax.Array,
            impostor_cross_scores: jax.Array,
            use_median: bool = False, percent_h: float = 0.0,
-           percent_l: float = 0.0) -> jax.Array:
+           percent_l: float = 0.0,
+           z_mask: jax.Array | None = None,
+           t_mask: jax.Array | None = None,
+           cross_mask: jax.Array | None = None) -> jax.Array:
     """ZT-norm: z-norm first, then t-norm with z-normed impostor models
     (reference ztnorm mode, ComputeNorm.cpp:491+).
 
     impostor_cross_scores (I, Z): impostor models × impostor segments —
     needed to z-norm the impostor-model score rows consistently."""
-    z = znorm(scores, impostor_seg_scores, use_median, percent_h, percent_l)
+    z = znorm(scores, impostor_seg_scores, use_median, percent_h, percent_l,
+              impostor_mask=z_mask)
     z_imp = znorm(impostor_model_scores, impostor_cross_scores, use_median,
-                  percent_h, percent_l)
-    return tnorm(z, z_imp, use_median, percent_h, percent_l)
+                  percent_h, percent_l, impostor_mask=cross_mask)
+    return tnorm(z, z_imp, use_median, percent_h, percent_l,
+                 impostor_mask=t_mask)
 
 
 def tznorm(scores: jax.Array, impostor_seg_scores: jax.Array,
            impostor_model_scores: jax.Array,
            impostor_cross_scores: jax.Array,
            use_median: bool = False, percent_h: float = 0.0,
-           percent_l: float = 0.0) -> jax.Array:
+           percent_l: float = 0.0,
+           z_mask: jax.Array | None = None,
+           t_mask: jax.Array | None = None,
+           cross_mask: jax.Array | None = None) -> jax.Array:
     """TZ-norm: t-norm first, then z-norm with t-normed impostor segments."""
-    t = tnorm(scores, impostor_model_scores, use_median, percent_h, percent_l)
+    t = tnorm(scores, impostor_model_scores, use_median, percent_h, percent_l,
+              impostor_mask=t_mask)
     t_imp = tnorm(impostor_seg_scores, impostor_cross_scores, use_median,
-                  percent_h, percent_l)
-    return znorm(t, t_imp, use_median, percent_h, percent_l)
+                  percent_h, percent_l, impostor_mask=cross_mask)
+    return znorm(t, t_imp, use_median, percent_h, percent_l,
+                 impostor_mask=z_mask)

@@ -333,13 +333,20 @@ def train_model_streams(
     stream_weights: list[float],
     init: GmmDiag,
     cfg: TrainCfg,
+    stats_fn=None,
     chunk: int = 4096,
     verbose: bool = False,
 ) -> GmmDiag:
     """Multi-stream weighted EM — reference trainModelStream
     (TrainTools.cpp:1030-1110): per iteration each stream contributes a
     bagged-subsampled stat accumulator scaled by its stream weight before
-    the merge (stream weights balance heterogeneous data sources)."""
+    the merge (stream weights balance heterogeneous data sources).
+
+    ``stats_fn`` as in train_model: defaults to the backend-best kernel
+    (fused Pallas on TPU); pass the mesh-sharded accumulator for
+    multi-chip."""
+    if stats_fn is None:
+        stats_fn = default_stats_fn(chunk=chunk)
     all_x = jnp.concatenate([x for x, _ in streams])
     all_w = jnp.concatenate([w for _, w in streams])
     _, gcov = global_mean_cov(all_x, all_w)
@@ -358,10 +365,74 @@ def train_model_streams(
             mask = bagged_frame_mask(sub, w, cfg.bagged_frame_probability,
                                      cfg.bagged_minimal_length,
                                      cfg.bagged_maximal_length)
-            st = em_stats_chunked(x, mask, gmm, chunk=chunk)
+            st = stats_fn(x, mask, gmm)
             merged = merged.merge(jax.tree.map(lambda a: a * sw, st))
         if verbose:
             print(f"stream-it {it}: meanLLK={float(merged.mean_llk()):.5f}")
+        gmm = m_step(merged)
+        gmm = variance_control(gmm, floor, ceil, gcov)
+    if cfg.component_reduction and cfg.target_distrib_count > 0:
+        gmm = reduce_model(gmm, cfg.target_distrib_count)
+    return gmm
+
+
+def streaming_global_mean_cov(loader) -> tuple[jax.Array, jax.Array]:
+    """Global weighted mean/cov in one streaming pass over the loader."""
+    s = s2 = None
+    cnt = 0.0
+    for x, w in loader():
+        xw = jnp.asarray(x) * jnp.asarray(w)[:, None]
+        c0 = jnp.sum(jnp.asarray(x) * xw, axis=0)
+        c1 = jnp.sum(xw, axis=0)
+        s = c1 if s is None else s + c1
+        s2 = c0 if s2 is None else s2 + c0
+        cnt += float(jnp.sum(jnp.asarray(w)))
+    mean = s / max(cnt, 1e-30)
+    return mean, s2 / max(cnt, 1e-30) - mean * mean
+
+
+def train_model_streaming(
+    key: jax.Array,
+    loader,
+    init: GmmDiag,
+    cfg: TrainCfg,
+    stats_fn=None,
+    chunk: int = 4096,
+    verbose: bool = False,
+) -> GmmDiag:
+    """UBM EM over a corpus larger than host RAM.
+
+    ``loader`` is a zero-argument callable returning a fresh iterable of
+    ``(x, w)`` fixed-shape chunks per epoch (the featureServerBufferSize
+    contract: the reference streams frames through a bounded buffer,
+    config key in TrainWorld.cfg; our chunks are the device batches).
+    Each EM iteration streams the corpus once, merging per-chunk
+    sufficient statistics exactly as the in-RAM path does per shard —
+    stats merge is associative, so the result equals in-RAM training
+    when the bagged masks match (tests/test_streaming.py)."""
+    if stats_fn is None:
+        stats_fn = default_stats_fn(chunk=chunk)
+    _, gcov = streaming_global_mean_cov(loader)
+    gmm = init
+    k, d = init.means.shape
+    for it in range(cfg.nb_train_it):
+        floor = schedule_value(cfg.init_variance_flooring,
+                               cfg.final_variance_flooring,
+                               cfg.nb_train_it, it)
+        ceil = schedule_value(cfg.init_variance_ceiling,
+                              cfg.final_variance_ceiling,
+                              cfg.nb_train_it, it)
+        merged = EmStats.zeros(k, d)
+        for x, w in loader():
+            key, sub = jax.random.split(key)
+            w = jnp.asarray(w)
+            mask = bagged_frame_mask(sub, w, cfg.bagged_frame_probability,
+                                     cfg.bagged_minimal_length,
+                                     cfg.bagged_maximal_length)
+            merged = merged.merge(stats_fn(jnp.asarray(x), mask, gmm))
+        if verbose:
+            print(f"stream it {it}: meanLLK={float(merged.mean_llk()):.5f} "
+                  f"frames={float(merged.count):.0f}")
         gmm = m_step(merged)
         gmm = variance_control(gmm, floor, ceil, gcov)
     if cfg.component_reduction and cfg.target_distrib_count > 0:

@@ -123,6 +123,21 @@ def _read_raw(raw: bytes, vect_size: int, big_endian: bool,
         np.ascontiguousarray(payload.reshape(-1, vect_size), dtype=np.float32))
 
 
+def _read_htk(raw: bytes) -> FeatureFile:
+    """HTK parameter file (always big-endian): 12-byte header
+    [nSamples:u32][sampPeriod:u32, 100 ns][sampSize:u16, bytes]
+    [parmKind:u16] then f32 samples (HTK Book §5.10; ALIZE
+    loadFeatureFileFormat HTK)."""
+    n, period, samp_size, parm_kind = struct.unpack_from(">IIHH", raw, 0)
+    dim = samp_size // 4
+    if dim == 0 or len(raw) < 12 + n * samp_size:
+        raise ValueError(f"HTK header implies {n}x{dim} beyond file size")
+    data = np.frombuffer(raw, ">f4", count=n * dim, offset=12).reshape(n, dim)
+    rate = 1e7 / period if period else 100.0
+    return FeatureFile(np.ascontiguousarray(data, dtype=np.float32),
+                       rate=float(rate), flag=parm_kind)
+
+
 def read_feature_file(
     path: str,
     fmt: str = "SPRO4",
@@ -130,7 +145,7 @@ def read_feature_file(
     vect_size: int = 0,
     use_native: bool = True,
 ) -> FeatureFile:
-    """Read one feature file.  ``fmt`` ∈ {SPRO3, SPRO4, RAW}.
+    """Read one feature file.  ``fmt`` ∈ {SPRO3, SPRO4, RAW, HTK}.
 
     The reference's own fixtures are labelled inconsistently (TrainWorld.cfg
     declares SPRO4 for a SPRO3-headered file), so SPRO3/SPRO4 fall back to
@@ -141,6 +156,9 @@ def read_feature_file(
     the pure-Python reader as fallback.
     """
     fmt_u = fmt.upper()
+    if fmt_u == "HTK":
+        with open(path, "rb") as f:
+            return _read_htk(f.read())
     if use_native:
         from .native import read_features_native
         order = ([fmt_u] if fmt_u == "RAW"
@@ -193,6 +211,13 @@ def write_feature_file(
             f.write(struct.pack(bo + "H", data.shape[1]))
             f.write(struct.pack(bo + "I", flag))
             f.write(struct.pack(bo + "f", rate))
+        elif fmt == "HTK":
+            # HTK is always big-endian (header + samples)
+            period = int(round(1e7 / rate)) if rate else 100000
+            f.write(struct.pack(">IIHH", data.shape[0], period,
+                                data.shape[1] * 4, flag or 9))  # 9 = USER
+            f.write(data.astype(">f4").tobytes())
+            return
         elif fmt != "RAW":
             raise ValueError(f"unknown feature format {fmt}")
         f.write(data.astype(bo + "f4").tobytes())

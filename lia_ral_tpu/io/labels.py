@@ -17,6 +17,20 @@ import dataclasses
 import numpy as np
 
 
+def time_to_frame_idx(time: float, frame_length: float) -> int:
+    """Reference timeToFrameIdx (SegTools.cpp:135-142): floor(time/fl)
+    with a 0.99999 fractional guard against FP boundary error."""
+    q = time / frame_length
+    frac = q - int(q)
+    return int(q) + 1 if frac > 0.99999 else int(q)
+
+
+def frame_idx_to_time(idx: int, frame_length: float) -> float:
+    """Reference frameIdxToTime (SegTools.cpp:143-148): millisecond-
+    truncated idx*frameLength."""
+    return int(idx * 1000 * frame_length) / 1000.0
+
+
 @dataclasses.dataclass
 class Segment:
     begin: float          # seconds
@@ -24,10 +38,12 @@ class Segment:
     label: str
 
     def frames(self, frame_length: float) -> tuple[int, int]:
-        """[start, stop) frame indices — reference timeToFrameIdx
-        (SegTools.h:114)."""
-        start = int(round(self.begin / frame_length))
-        stop = int(round(self.end / frame_length))
+        """[start, stop) frame indices.  The reference's label convention
+        is END-INCLUSIVE: segFrameLength = timeToFrameIdx(end) − begin + 1
+        (SegTools.cpp:208-209), so a "0 0.25" label at 10 ms frames covers
+        frames 0..25 (26 frames)."""
+        start = time_to_frame_idx(self.begin, frame_length)
+        stop = time_to_frame_idx(self.end, frame_length) + 1
         return start, stop
 
 
@@ -89,8 +105,12 @@ def frame_mask_to_segments(
         starts.insert(0, 0)
     if mask[-1]:
         stops.append(mask.size)
+    # end time = START time of the last covered frame (end-inclusive
+    # convention; reference outputLabelFile writes
+    # frameIdxToTime(begin+length-1), SegTools.cpp:115)
     return [
-        Segment(a * frame_length, b * frame_length, label)
+        Segment(frame_idx_to_time(a, frame_length),
+                frame_idx_to_time(b - 1, frame_length), label)
         for a, b in zip(starts, stops)
     ]
 

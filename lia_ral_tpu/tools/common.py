@@ -65,6 +65,59 @@ def load_features_and_mask(
     return fs, mask
 
 
+def feature_buffer_size(cfg: Config) -> int | None:
+    """Parse ``featureServerBufferSize``: frame count, or None for
+    ALL_FEATURES (the reference's bounded feature buffer,
+    TrainWorld.cfg)."""
+    val = cfg.get_str("featureServerBufferSize", "ALL_FEATURES")
+    return int(val) if val.isdigit() else None
+
+
+def feature_chunk_loader(names: list[str], cfg: Config, buffer_size: int):
+    """Streaming loader over a file list: a zero-arg callable yielding
+    fixed-shape ``(x[buffer,D], w[buffer])`` chunks per epoch, each built
+    from at most ``buffer_size`` frames of host RAM (short tails are
+    zero-weight padded).  Honouring featureServerBufferSize lets corpora
+    larger than host RAM train (reference FeatureServer semantics)."""
+
+    def loader():
+        pend_x: list[np.ndarray] = []
+        pend_w: list[np.ndarray] = []
+        pending = 0
+
+        def flush(pad: bool):
+            nonlocal pend_x, pend_w, pending
+            x = np.concatenate(pend_x) if pend_x else None
+            w = np.concatenate(pend_w) if pend_w else None
+            pend_x, pend_w, pending = [], [], 0
+            if x is None or x.shape[0] == 0:
+                return None
+            if pad and x.shape[0] < buffer_size:
+                short = buffer_size - x.shape[0]
+                x = np.concatenate(
+                    [x, np.zeros((short, x.shape[1]), x.dtype)])
+                w = np.concatenate([w, np.zeros((short,), w.dtype)])
+            return x, w
+
+        for name in names:
+            fs, mask = load_features_and_mask([name], cfg)
+            x, w = fs.data, mask
+            off = 0
+            while off < x.shape[0]:
+                take = min(buffer_size - pending, x.shape[0] - off)
+                pend_x.append(x[off:off + take])
+                pend_w.append(w[off:off + take])
+                pending += take
+                off += take
+                if pending == buffer_size:
+                    yield flush(pad=False)
+        tail = flush(pad=True)
+        if tail is not None:
+            yield tail
+
+    return loader
+
+
 def mixture_path(name: str, cfg: Config, save: bool = False) -> str:
     root = cfg.get_str("mixtureFilesPath", "./")
     key = "saveMixtureFileExtension" if save else "loadMixtureFileExtension"

@@ -65,37 +65,50 @@ def main(cfg: Config) -> list[ScoreLine]:
 
     main_lines = _read_lines(cfg.get_str("testNistFile"), fields)
     scores, models, segs = _score_matrix(main_lines)
-    if np.isnan(scores).any():
-        scores = np.where(np.isnan(scores), np.nanmin(scores), scores)
-    s = jnp.asarray(scores, jnp.float32)
+    # missing trials stay NaN: per-entity impostor statistics are computed
+    # over the PRESENT scores only (the reference keeps ragged per-entity
+    # distributions, DistribNorm ComputeNorm.cpp:96-365 — never a fill)
+    s = jnp.asarray(np.nan_to_num(scores, nan=0.0), jnp.float32)
 
     def load_matrix(key: str, imp_models: bool):
         lines = _read_lines(cfg.get_str(key), fields)
         if imp_ids is not None and imp_models:
             lines = [l for l in lines if l.model in imp_ids]
-        return _score_matrix(lines)
+        mat, ms, ss = _score_matrix(lines)
+        return mat, ~np.isnan(mat), ms, ss
+
+    def dev(mat, msk):
+        return (jnp.asarray(np.nan_to_num(mat, nan=0.0), jnp.float32),
+                jnp.asarray(msk))
 
     kw = dict(use_median=use_median, percent_h=percent_h,
               percent_l=percent_l)
     if mode == "tnorm":
         # impostor models scored against the SAME test segments
-        imp, _, imp_segs = load_matrix("tnormNistFile", imp_models=True)
+        imp, im, _, imp_segs = load_matrix("tnormNistFile", imp_models=True)
         order = [imp_segs.index(x) for x in segs]
-        out = tnorm(s, jnp.asarray(imp[:, order], jnp.float32), **kw)
+        mat, msk = dev(imp[:, order], im[:, order])
+        out = tnorm(s, mat, impostor_mask=msk, **kw)
     elif mode == "znorm":
-        imp, imp_models, _ = load_matrix("znormNistFile", imp_models=False)
+        imp, im, imp_models, _ = load_matrix("znormNistFile",
+                                             imp_models=False)
         order = [imp_models.index(m) for m in models]
-        out = znorm(s, jnp.asarray(imp[order], jnp.float32), **kw)
+        mat, msk = dev(imp[order], im[order])
+        out = znorm(s, mat, impostor_mask=msk, **kw)
     elif mode in ("ztnorm", "tznorm"):
-        impz, impz_models, _ = load_matrix("znormNistFile", imp_models=False)
-        impt, _, impt_segs = load_matrix("tnormNistFile", imp_models=True)
-        impc, _, _ = load_matrix("ztnormNistFile", imp_models=True)
+        impz, imz, impz_models, _ = load_matrix("znormNistFile",
+                                                imp_models=False)
+        impt, imt, _, impt_segs = load_matrix("tnormNistFile",
+                                              imp_models=True)
+        impc, imc, _, _ = load_matrix("ztnormNistFile", imp_models=True)
         zorder = [impz_models.index(m) for m in models]
         torder = [impt_segs.index(x) for x in segs]
         fn = ztnorm if mode == "ztnorm" else tznorm
-        out = fn(s, jnp.asarray(impz[zorder], jnp.float32),
-                 jnp.asarray(impt[:, torder], jnp.float32),
-                 jnp.asarray(impc, jnp.float32), **kw)
+        zmat, zmsk = dev(impz[zorder], imz[zorder])
+        tmat, tmsk = dev(impt[:, torder], imt[:, torder])
+        cmat, cmsk = dev(impc, imc)
+        out = fn(s, zmat, tmat, cmat, z_mask=zmsk, t_mask=tmsk,
+                 cross_mask=cmsk, **kw)
     else:
         raise ValueError(f"unknown normType {mode}")
 

@@ -30,7 +30,7 @@ import numpy as np
 from ..config import Config
 from ..gmm.model import GmmDiag
 from ..gmm.scoring import compute_test_llr, decime_groups, stack_gmms, top_k_llk
-from ..io.labels import frame_mask_to_segments
+from ..io.labels import frame_idx_to_time, frame_mask_to_segments
 from ..io.lists import read_ndx
 from ..io.nist import ScoreLine, write_nist_scores
 from .common import load_features_and_mask, mixture_path, setup_verbose
@@ -89,13 +89,28 @@ def main(cfg: Config) -> list[ScoreLine]:
         return by_label_main(cfg)
     if mode == "histo":
         return histo_main(cfg)
+    # rerun-a-failed-shard recovery (the reference's fexist guard,
+    # ComputeTest.cpp:82-86, and its file-DAG operational model): with
+    # ``skipExistingOutput true`` an already-computed non-empty score file
+    # short-circuits the run
+    import os as _os
+    out_path = cfg.get_str("outputFilename")
+    if (cfg.get_bool("skipExistingOutput", False)
+            and _os.path.exists(out_path) and _os.path.getsize(out_path) > 0):
+        from ..io.nist import read_nist_scores
+        print(f"output [{out_path}] exists — skipping (skipExistingOutput)")
+        return read_nist_scores(out_path)
     ndx = read_ndx(cfg.get_str("ndxFilename"))
     world = GmmDiag.load(mixture_path(cfg.get_str("inputWorldFilename"), cfg))
     gender = cfg.get_str("gender", "M")
     top_k = cfg.get_int("topDistribsCount", 10)
     world_decime = cfg.get_int("worldDecime", 1)
     threshold = cfg.get_float("decisionThreshold", 0.0)
-    segmental = cfg.get_bool("segmentLLR", False)
+    # the reference accepts both spellings: bool key ``segmentLLR``
+    # (ComputeTest.cpp:98) and ``segmentalMode segmentLLR`` (cpp:774, the
+    # form the in-tree test config uses)
+    segmental = (cfg.get_bool("segmentLLR", False)
+                 or cfg.get_str("segmentalMode", "") == "segmentLLR")
     frame_length = cfg.get_float("frameLength", 0.01)
     # maxTargetLine caps clients per NDX line (ComputeTest.cpp:107);
     # nbMaxMixtureInMemory bounds the client-model cache (cpp:212-216)
@@ -147,13 +162,18 @@ def main(cfg: Config) -> list[ScoreLine]:
                                               top_k=top_k)
             off = 0
             for s, L in zip(segs, seg_lengths):
+                a = s.frames(frame_length)[0]
                 wl = float(jnp.mean(world_llk[off:off + L]))
                 for i, mn in enumerate(model_names):
                     cl = float(jnp.mean(client_llk[i, off:off + L]))
                     llr = cl - wl
+                    # times per reference: [frameIdxToTime(begin),
+                    # frameIdxToTime(begin+length)] (ComputeTest.cpp:187)
                     results.append(ScoreLine(
                         gender, mn, "1" if llr > threshold else "0",
-                        test_name, llr, begin=s.begin, end=s.end))
+                        test_name, llr,
+                        begin=frame_idx_to_time(a, frame_length),
+                        end=frame_idx_to_time(a + L, frame_length)))
                 off += L
         else:
             llr = np.asarray(compute_test_llr(x, w, world, stacked,

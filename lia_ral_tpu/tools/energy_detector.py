@@ -11,10 +11,49 @@ from __future__ import annotations
 import os
 import sys
 
+import numpy as np
+
 from ..config import Config
 from ..frontend.energy_vad import EnergyDetectorCfg, energy_detector
-from ..io.labels import frame_mask_to_segments, write_label_file
+from ..io.labels import Segment, frame_idx_to_time, write_label_file
 from .common import label_path, load_features_and_mask, resolve_list, setup_verbose
+
+
+def _select_frames_segments(speech: np.ndarray, sel_mask: np.ndarray,
+                            frame_length: float, label: str) -> list[Segment]:
+    """Reference selectFrames (EnergyDetector.cpp:128-168) segment
+    emission, including its end-of-input-segment quirk: a speech run still
+    open when the input segment ends is emitted with length end−begin+2,
+    i.e. ONE FRAME PAST the last selected frame (cpp:158-163, and the
+    in-tree golden ``0.21 0.26`` ends at frame 26 while the label stops
+    at 25)."""
+    segs: list[Segment] = []
+    sel = np.asarray(sel_mask) > 0
+    n = sel.size
+    i = 0
+    while i < n:
+        if not sel[i]:
+            i += 1
+            continue
+        j = i
+        while j < n and sel[j]:
+            j += 1
+        # input segment frames [i, j)
+        in_run = False
+        beg = 0
+        for t in range(i, j):
+            if speech[t] and not in_run:
+                in_run, beg = True, t
+            elif not speech[t] and in_run:
+                in_run = False
+                segs.append(Segment(frame_idx_to_time(beg, frame_length),
+                                    frame_idx_to_time(t - 1, frame_length),
+                                    label))
+        if in_run:
+            segs.append(Segment(frame_idx_to_time(beg, frame_length),
+                                frame_idx_to_time(j, frame_length), label))
+        i = j
+    return segs
 
 
 def main(cfg: Config) -> dict[str, list]:
@@ -30,7 +69,8 @@ def main(cfg: Config) -> dict[str, list]:
         fs, mask = load_features_and_mask([name], cfg)
         energy = fs.data[:, 0]     # after featureServerMask: energy only
         speech = energy_detector(energy, mask, ecfg, verbose=verbose)
-        segs = frame_mask_to_segments(speech, frame_length, label_output)
+        segs = _select_frames_segments(speech, mask, frame_length,
+                                       label_output)
         write_label_file(label_path(name, cfg, save=True), segs)
         out[name] = segs
         if verbose:

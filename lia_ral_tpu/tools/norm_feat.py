@@ -89,6 +89,27 @@ def main(cfg: Config) -> dict[str, np.ndarray]:
             n_, f_ = accumulate_bw_stats(x, w, world)
             x_h = estimate_channel(BwStats(n=n_[None], f=f_[None]), model)[0]
             y = compensate_features(x, world, model, x_h)
+        elif mode == "featNAP":
+            # NAP feature-domain compensation (reference normFeatNAP,
+            # NormFeat.cpp:724; featureChannelCompNAP cpp:213-229): remove
+            # the occupancy-weighted projection of the UBM supervector on
+            # the NAP subspace from every frame —
+            # x_d -= Σ_k γ_k(x) · ubm_offset[k,d]  (one (N,K)@(K,D) matmul)
+            from ..backend.supervector import model_to_sv, project_on_subspace
+            from ..gmm.kernels import llk_and_posteriors
+            from ..gmm.model import GmmDiag
+            from ..io.matrix import read_matrix_file
+            from .common import mixture_path
+            world = GmmDiag.load(mixture_path(
+                cfg.get_str("inputWorldFilename"), cfg))
+            u = jnp.asarray(
+                read_matrix_file(cfg.get_str("initChannelMatrix")),
+                jnp.float32)
+            k_, d_ = world.means.shape
+            ubm_offset = project_on_subspace(model_to_sv(world), u) \
+                .reshape(k_, d_)                     # getUbmOffset cpp:189-197
+            _, occ = llk_and_posteriors(x, world)    # (N,K) posteriors
+            y = x - occ @ ubm_offset
         elif mode == "info":
             mean = np.average(fs.data, axis=0, weights=mask)
             var = np.average((fs.data - mean) ** 2, axis=0, weights=mask)

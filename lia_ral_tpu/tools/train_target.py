@@ -46,6 +46,17 @@ def main(cfg: Config) -> dict[str, GmmDiag]:
     fa_model = None
     if cfg.get_bool("channelCompensation", False):
         fa_model = _load_fa_model(cfg, world)
+    # optional NAP of the client supervector (TrainTarget.cpp:154-157) and
+    # supervector output instead of a model file (outputAdaptParam,
+    # cpp:158-169: getSuperVector KL|SVMUBM written as a .vect matrix)
+    nap_u = None
+    if cfg.get_bool("NAP", False):
+        from ..io.matrix import read_matrix_file
+        nap_u = jnp.asarray(
+            read_matrix_file(cfg.get_str("NAPChannelMatrix",
+                                         cfg.get_str("channelMatrix", "U"))),
+            jnp.float32)
+    output_adapt_param = cfg.get_bool("outputAdaptParam", False)
     out: dict[str, GmmDiag] = {}
     for line_no, (client, files) in enumerate(read_ndx(ndx_path)):
         try:
@@ -76,9 +87,24 @@ def main(cfg: Config) -> dict[str, GmmDiag]:
             x = compensate_features(x, world, fa_model, x_h)
         key = jax.random.key(seed + line_no)
         client_model = adapt_model(key, x, w, world, mcfg)
-        client_model.save(mixture_path(client, cfg, save=True),
-                          fmt=cfg.get_str("saveMixtureFileFormat", "RAW"),
-                          model_id=client)
+        if nap_u is not None:
+            from ..backend.supervector import compute_nap
+            client_model = compute_nap(client_model, nap_u)
+        if output_adapt_param:
+            import numpy as np
+            from ..backend.supervector import get_supervector
+            from ..io.matrix import write_matrix_file
+            sv = get_supervector(cfg.get_str("superVector", "KL"),
+                                 world, client_model)
+            write_matrix_file(
+                os.path.join(cfg.get_str("saveVectorFilesPath", "./"),
+                             client + cfg.get_str("vectorFilesExtension",
+                                                  ".vect")),
+                np.asarray(sv, np.float64)[None, :])
+        else:
+            client_model.save(mixture_path(client, cfg, save=True),
+                              fmt=cfg.get_str("saveMixtureFileFormat", "RAW"),
+                              model_id=client)
         out[client] = client_model
         if verbose:
             print(f"client [{client}]: {int(mask.sum())} frames "

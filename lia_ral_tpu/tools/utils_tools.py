@@ -35,7 +35,40 @@ from .common import (load_features_and_mask, mixture_path, resolve_list,
 
 
 def scoring_main(cfg: Config):
+    """Scoring post-processing.  ``mode NIST`` reproduces the reference's
+    LIA→NIST04 conversion (Scoring.cpp:243-274): per line, decision =
+    score > ``threshold`` → 't'/'f' (or max-score per segment with
+    decision "true" under ``hardDecision``), written as
+    "trainTypeTest adaptationMode segTypeTest gender model seg dec score"
+    (the in-tree golden ``score.final.nist``)."""
     lines = read_nist_scores(cfg.get_str("inputFile"))
+    if cfg.get_str("mode", "") == "NIST":
+        from ..io.nist import format_nist04_line
+        seg_t = cfg.get_str("segTypeTest")
+        train_t = cfg.get_str("trainTypeTest")
+        adapt = cfg.get_str("adaptationMode")
+        hard = cfg.exists("hardDecision")
+        out_lines = []
+        if hard:
+            by_seg: dict[str, list] = {}
+            for ln in lines:
+                by_seg.setdefault(ln.seg, []).append(ln)
+            picked = [max(v, key=lambda s: s.score) for v in by_seg.values()]
+            for ln in picked:
+                out_lines.append(format_nist04_line(
+                    train_t, adapt, seg_t, ln.gender.lower(), ln.model,
+                    ln.seg, "true", ln.score))
+        else:
+            thr = cfg.get_float("threshold", 0.0)
+            for ln in lines:
+                dec = "t" if ln.score > thr else "f"
+                out_lines.append(format_nist04_line(
+                    train_t, adapt, seg_t, ln.gender.lower(), ln.model,
+                    ln.seg, dec, ln.score))
+        with open(cfg.get_str("outputFile"), "w", encoding="utf-8") as f:
+            for t in out_lines:
+                f.write(t + "\n")
+        return out_lines
     if cfg.get_str("scoringMode", "decision") == "identification":
         out = max_score_identification(lines)
     else:
@@ -45,8 +78,14 @@ def scoring_main(cfg: Config):
 
 
 def fusion_main(cfg: Config):
-    files = read_simple_list(cfg.get_str("fusionList"))
-    weights = [float(w) for w in read_simple_list(cfg.get_str("weightsFile"))]
+    """FusionScore (reference CLI keys ``inputFileList``/``weights``/
+    ``fusionMethod ArithMean``; test/fusion.lst fuses score.nist with
+    itself at weights 0.5 0.5 → output must equal the input)."""
+    files = read_simple_list(cfg.get_str(
+        "inputFileList" if cfg.exists("inputFileList") else "fusionList"))
+    wkey = "weights" if cfg.exists("weights") else "weightsFile"
+    with open(cfg.get_str(wkey), "r", encoding="utf-8") as f:
+        weights = [float(w) for w in f.read().split()]
     sets = [read_nist_scores(f) for f in files]
     out = fuse_scores(sets, weights)
     write_nist_scores(cfg.get_str("outputFile"), out)
@@ -78,21 +117,58 @@ def hist_main(cfg: Config):
 
 
 def model_to_sv_main(cfg: Config):
-    names = resolve_list(cfg, "inputModelList") \
-        if cfg.exists("inputModelList") else [cfg.get_str("inputModelFilename")]
+    """ModelToSv (ModelToSvMain.cpp:77-166): GMM → supervector files.
+
+    * ``meanSv``  — sv = stacked component means; the ``normSv``
+      normalisation vector is √(w_i·covInv_ij) of the UBM
+      (getMeanNorm, cpp:58-68 — the KL-kernel scaling);
+    * ``weightSv`` — sv = component weights; norm = 1/√(w_i)
+      (getWeightNorm, cpp:70-75);
+    * ``vectors`` — read existing .vect files instead of models and only
+      apply the normalisation (cpp:147-156);
+    * ``normSv`` (alias ``normalizeSv``) multiplies elementwise by the
+      UBM-derived norm vector (cpp:157-160).
+    """
+    mean_sv = cfg.get_bool("meanSv", not cfg.get_bool("weightSv", False))
+    weight_sv = cfg.get_bool("weightSv", False)
+    norm_sv = (cfg.get_bool("normSv", False)
+               or cfg.get_bool("normalizeSv", False))
+    from_vectors = cfg.get_bool("vectors", False)
+    if cfg.exists("inputModelList"):
+        names = resolve_list(cfg, "inputModelList")
+    elif cfg.exists("inputFilename"):
+        names = resolve_list(cfg, "inputFilename")
+    else:
+        names = [cfg.get_str("inputModelFilename")]
+    vpath = cfg.get_str("vectorFilesPath", "./")
+    vext = cfg.get_str("vectorFilesExtension", ".vect")
+    norm_vec = None
+    if norm_sv:
+        ubm = GmmDiag.load(mixture_path(cfg.get_str("inputWorldFilename"),
+                                        cfg))
+        w = np.asarray(ubm.weights, np.float64)
+        if weight_sv:
+            norm_vec = 1.0 / np.sqrt(w)
+        else:
+            ci = np.asarray(ubm.cov_inv, np.float64)
+            norm_vec = np.sqrt(w[:, None] * ci).ravel()
     out = {}
     for n in names:
-        gmm = GmmDiag.load(mixture_path(n, cfg))
-        sv = np.asarray(model_to_sv(gmm), np.float64)
-        if cfg.get_bool("normalizeSv", False):
-            # mean-offset/variance normalisation (ModelToSvMain.cpp:120)
-            sv = (sv - np.asarray(gmm.ubm_means).ravel()) if hasattr(
-                gmm, "ubm_means") else sv
-        write_matrix_file(os.path.join(cfg.get_str("vectorFilesPath", "./"),
-                                       n + cfg.get_str("vectorFilesExtension",
-                                                       ".vect")),
-                          sv[None, :])
+        if from_vectors:
+            iext = cfg.get_str("inputVectorFilesExtension", ".sv")
+            sv = read_matrix_file(os.path.join(vpath, n + iext)) \
+                .ravel().astype(np.float64)
+        else:
+            gmm = GmmDiag.load(mixture_path(n, cfg))
+            if weight_sv:
+                sv = np.asarray(gmm.weights, np.float64)
+            else:
+                sv = np.asarray(model_to_sv(gmm), np.float64)
+        if norm_vec is not None:
+            sv = sv * norm_vec
+        write_matrix_file(os.path.join(vpath, n + vext), sv[None, :])
         out[n] = sv
+    del mean_sv
     return out
 
 
@@ -163,15 +239,81 @@ def poly_exp_main(cfg: Config):
     return out
 
 
+def cov_intra_main(cfg: Config):
+    """CovIntra (CovIntra.cpp:151-280): train the NAP / within-speaker
+    covariance subspace from session supervectors.
+
+    NDX lines = one speaker per line, elements = that speaker's session
+    vectors; ``gmm true`` loads GMM files and stacks their means
+    (loadMeanSv, cpp:107-118) instead of .vect files.  The top
+    ``nbEigenVectors`` eigenvectors of the within-class scatter (the
+    reference's SVDLIBC svdLAS2 call, cpp:257) are saved to
+    ``channelMatrix``."""
+    from ..backend.supervector import model_to_sv as _m2sv
+    from ..backend.supervector import train_nap_subspace
+    from ..io.lists import read_xlist
+
+    lines = read_xlist(cfg.get_str("ndx"))
+    from_gmm = cfg.get_bool("gmm", False)
+    vpath = cfg.get_str("vectorFilesPath", "./")
+    vext = cfg.get_str("vectorFilesExtension", ".vect")
+    vecs, spk_ids = [], []
+    for spk, line in enumerate(lines):
+        for name in line:
+            if from_gmm:
+                sv = np.asarray(_m2sv(GmmDiag.load(mixture_path(name, cfg))),
+                                np.float64).ravel()
+            else:
+                sv = read_matrix_file(os.path.join(vpath, name + vext)) \
+                    .ravel().astype(np.float64)
+            vecs.append(sv)
+            spk_ids.append(spk)
+    v = jnp.asarray(np.stack(vecs), jnp.float32)
+    nap = train_nap_subspace(v, jnp.asarray(spk_ids), len(lines),
+                             cfg.get_int("nbEigenVectors", 40))
+    write_matrix_file(cfg.get_str("channelMatrix"), np.asarray(nap))
+    return np.asarray(nap)
+
+
 def gmm_tokenizer_main(cfg: Config):
-    gmm = GmmDiag.load(mixture_path(cfg.get_str("inputWorldFilename"), cfg))
+    """GmmTokenizer symbolsExtract mode (GmmTokenizer.cpp:171-208): winning
+    component per selected frame, consecutive repeats collapsed (the
+    in-tree golden ``test1.sym.ref`` is the collapsed stream; pass
+    ``duration true`` to keep repeats, GmmTokenizerMain.cpp:73).
+    ``confusionMatrix true`` switches to GaussianConfusionMatrix
+    (cpp:128-160): counts of (best, i-th best) over topDistribsCount."""
+    world_key = ("inputWorldModelName"
+                 if cfg.exists("inputWorldModelName") else "inputWorldFilename")
+    gmm = GmmDiag.load(mixture_path(cfg.get_str(world_key), cfg))
     names = resolve_list(cfg, "inputFeatureFilename")
+    sym_dir = cfg.get_str("symbolsFilesPath", cfg.get_str("symFilesPath", "./"))
+    if cfg.get_bool("confusionMatrix", False):
+        import jax as _jax
+        from ..gmm.kernels import weighted_logdens
+        n_best = cfg.get_int("topDistribsCount", 10)
+        k = gmm.n_components
+        mce = np.zeros((k, k), np.int64)
+        for n in names:
+            fs, mask = load_features_and_mask([n], cfg)
+            ld = weighted_logdens(jnp.asarray(fs.data[mask > 0]), gmm)
+            idx = np.asarray(_jax.lax.top_k(ld, min(n_best, k))[1])
+            np.add.at(mce, (np.repeat(idx[:, 0], idx.shape[1]),
+                            idx.ravel()), 1)
+        out_name = cfg.get_str("matrixOutputName", "mce_matrix.mat")
+        with open(out_name, "w", encoding="utf-8") as f:
+            f.write(f"{k} {k}\n")
+            for row in mce:
+                f.write(" ".join(str(int(v)) for v in row) + " \n")
+        return mce
+    keep_repeats = cfg.get_bool("duration", False)
     out = {}
     for n in names:
         fs, mask = load_features_and_mask([n], cfg)
         syms = gmm_tokenize(jnp.asarray(fs.data), gmm)
         syms = syms[mask > 0]
-        path = os.path.join(cfg.get_str("symFilesPath", "./"), n + ".sym")
+        if not keep_repeats and syms.size:
+            syms = syms[np.concatenate([[True], np.diff(syms) != 0])]
+        path = os.path.join(sym_dir, n + ".sym")
         with open(path, "w") as f:
             f.write(" ".join(str(int(s)) for s in syms) + "\n")
         out[n] = syms
@@ -327,6 +469,7 @@ MODES = {
     "scoring": scoring_main, "fusion": fusion_main,
     "scoreWarp": score_warp_main, "hist": hist_main,
     "modelToSv": model_to_sv_main, "napSv": nap_sv_main,
+    "covIntra": cov_intra_main,
     "readFeatFile": read_feat_main, "readModel": read_model_main,
     "extractParams": extract_params_main, "polyExp": poly_exp_main,
     "gmmTokenizer": gmm_tokenizer_main, "bNgram": bngram_main,

@@ -1,0 +1,67 @@
+"""Worker for tests/test_multihost.py: one of N coordinated CPU processes.
+
+Usage: python _multihost_worker.py <coordinator> <num_procs> <pid> <outdir>
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from lia_ral_tpu.gmm.kernels import em_stats
+from lia_ral_tpu.gmm.model import GmmDiag
+from lia_ral_tpu.parallel.distributed import (global_stats, host_local_batch,
+                                              initialize_from_env,
+                                              make_global_mesh,
+                                              shard_file_list)
+
+
+def corpus(n=4096, d=8, k=6):
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    w = (rng.random(n) > 0.25).astype(np.float32)
+    gw = rng.random(k) + 0.1
+    gmm = GmmDiag.create(gw / gw.sum(),
+                         rng.standard_normal((k, d)).astype(np.float32),
+                         (rng.random((k, d)) + 0.5).astype(np.float32))
+    return x, w, gmm
+
+
+def main():
+    coord, nproc, pid, outdir = (sys.argv[1], int(sys.argv[2]),
+                                 int(sys.argv[3]), sys.argv[4])
+    assert initialize_from_env(coord, nproc, pid)
+    assert jax.process_count() == nproc
+    x, w, gmm = corpus()
+    # host-local slice: contiguous frame blocks per process (each "host"
+    # loads only its shard, as shard_file_list would for file lists)
+    per = x.shape[0] // nproc
+    xl, wl = x[pid * per:(pid + 1) * per], w[pid * per:(pid + 1) * per]
+    mesh = make_global_mesh()
+    gx, gw_arr = host_local_batch(mesh, xl, wl)
+    stats = global_stats(mesh, lambda a, b, g: em_stats(a, b, g),
+                         gx, gw_arr, gmm)
+    # file-list sharding is deterministic and disjoint
+    names = [f"f{i}" for i in range(10)]
+    mine = shard_file_list(names)
+    with open(os.path.join(outdir, f"names_{pid}.txt"), "w") as f:
+        f.write(" ".join(mine))
+    if jax.process_index() == 0:
+        np.savez(os.path.join(outdir, "stats.npz"),
+                 n=np.asarray(stats.n), sum_x=np.asarray(stats.sum_x),
+                 sum_xx=np.asarray(stats.sum_xx),
+                 llk=np.asarray(stats.llk), count=np.asarray(stats.count))
+    print(f"proc {pid}: ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -206,3 +206,79 @@ def test_norm_percentile_trim_and_median_reference_semantics():
         # jnp.median interpolates on even counts; kept size here is odd (16)
         assert abs(float(sd[i]) - np.mean(np.abs(
             np.sort(sc[i])[::-1][2:18] - float(mu[i])))) < 1e-5
+
+
+def test_ragged_impostor_normalization(rng):
+    """Masked (ragged) impostor statistics — sparse trial matrices must
+    normalise exactly as per-entity ragged lists (reference DistribNorm,
+    ComputeNorm.cpp:96-365), never via a fill value."""
+    m, t, z = 4, 5, 9
+    scores = jnp.asarray(rng.standard_normal((m, t)) + 2.0, jnp.float32)
+    imp = rng.standard_normal((m, z)).astype(np.float32) * 2 + 1
+    mask = rng.random((m, z)) > 0.35
+    mask[:, 0] = True                      # ≥1 present per row
+    # hand-computed per-row masked stats
+    zn = np.asarray(znorm(scores, jnp.asarray(np.where(mask, imp, np.nan)),
+                          impostor_mask=jnp.asarray(mask)))
+    for r in range(m):
+        vals = imp[r][mask[r]].astype(np.float64)
+        mu, sd = vals.mean(), vals.std()
+        np.testing.assert_allclose(
+            zn[r], (np.asarray(scores)[r] - mu) / sd, rtol=2e-4, atol=2e-4)
+    # dense mask == unmasked path
+    full = jnp.asarray(imp)
+    ones = jnp.ones((m, z), bool)
+    np.testing.assert_allclose(
+        np.asarray(znorm(scores, full, impostor_mask=ones)),
+        np.asarray(znorm(scores, full)), rtol=1e-5, atol=1e-5)
+    # median + trimming on the masked path: lower-median element + MAD
+    zn_med = np.asarray(znorm(scores, jnp.asarray(imp),
+                              impostor_mask=jnp.asarray(mask),
+                              use_median=True, percent_h=0.2))
+    for r in range(m):
+        vals = np.sort(imp[r][mask[r]].astype(np.float64))[::-1]
+        dh = int(np.floor(len(vals) * 0.2))
+        kept = vals[dh:]
+        med = kept[(len(kept) - 1) // 2]
+        mad = np.abs(kept - med).mean()
+        np.testing.assert_allclose(
+            zn_med[r], (np.asarray(scores)[r] - med) / mad,
+            rtol=2e-4, atol=2e-4)
+
+
+def test_compute_norm_tool_sparse_matrix(tmp_path, rng):
+    """ComputeNorm tool end-to-end with a sparse impostor score file:
+    NaN-fill distortion is gone; matches hand z-norm."""
+    import os
+    from lia_ral_tpu.config import Config
+    from lia_ral_tpu.io.nist import read_nist_scores
+    from lia_ral_tpu.tools import compute_norm
+    d = str(tmp_path)
+    models = ["m1", "m2"]
+    segs = ["s1", "s2", "s3"]
+    with open(os.path.join(d, "test.nist"), "w") as f:
+        for mi, mm in enumerate(models):
+            for si, ss in enumerate(segs):
+                f.write(f"M {mm} - {ss} {1.0 + mi + 0.1 * si}\n")
+    # ragged impostor-seg scores: m1 has 3 impostor trials, m2 only 2
+    imp = {("m1", "z1"): 0.5, ("m1", "z2"): 1.5, ("m1", "z3"): 2.5,
+           ("m2", "z1"): -1.0, ("m2", "z3"): 3.0}
+    with open(os.path.join(d, "imp.nist"), "w") as f:
+        for (mm, ss), v in imp.items():
+            f.write(f"M {mm} - {ss} {v}\n")
+    cfg = Config({
+        "normType": "znorm",
+        "testNistFile": os.path.join(d, "test.nist"),
+        "znormNistFile": os.path.join(d, "imp.nist"),
+        "outputFileBaseName": os.path.join(d, "out.nist"),
+    })
+    compute_norm.main(cfg)
+    out = {(l.model, l.seg): l.score
+           for l in read_nist_scores(os.path.join(d, "out.nist"))}
+    for mi, mm in enumerate(models):
+        vals = np.array([v for (m2_, _), v in imp.items() if m2_ == mm])
+        mu, sd = vals.mean(), vals.std()
+        for si, ss in enumerate(segs):
+            raw = 1.0 + mi + 0.1 * si
+            np.testing.assert_allclose(out[(mm, ss)], (raw - mu) / sd,
+                                       rtol=1e-4, atol=1e-4)

@@ -77,12 +77,17 @@ def test_label_roundtrip(tmp_path):
 
 
 def test_mask_roundtrip():
+    # end-inclusive label convention (SegTools.cpp:208-209, see PARITY.md):
+    # 0.02-0.05 → frames 2..5 (4), 0.10-0.12 → frames 10..12 (3)
     segs = [Segment(0.02, 0.05, "s"), Segment(0.10, 0.12, "s")]
     mask = segments_to_frame_mask(segs, 20, 0.01)
-    assert mask.sum() == 5
+    assert mask.sum() == 7
     back = frame_mask_to_segments(mask, 0.01, "s")
     assert len(back) == 2
     assert abs(back[0].begin - 0.02) < 1e-9
+    # label round-trip: mask→segments→mask is the identity
+    mask2 = segments_to_frame_mask(back, 20, 0.01)
+    assert (mask == mask2).all()
 
 
 @requires_reference
