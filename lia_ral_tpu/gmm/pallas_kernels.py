@@ -43,7 +43,8 @@ from .model import GmmDiag
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
-def _em_stats_kernel(k, xa_ref, w_ref, b_ref, cst_ref, out_ref, acc_ref):
+def _em_stats_kernel(k, prec, xa_ref, w_ref, b_ref, cst_ref, out_ref,
+                     acc_ref):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -53,20 +54,44 @@ def _em_stats_kernel(k, xa_ref, w_ref, b_ref, cst_ref, out_ref, acc_ref):
 
     xa = xa_ref[:]                                  # (BN, A) [x², x, 1, 0]
     wb = w_ref[:]                                   # (BN, 1)
-    # density matmul runs at the B matrix's dtype (bf16 in fast mode:
-    # softmax posteriors tolerate it); constant row stays f32 so the
-    # log-weight/normaliser offsets never lose precision; the stats
-    # matmul stays f32 — bf16 sufficient stats would feed the
-    # catastrophic E[x²]−E[x]² cancellation in the M-step
-    ld = jnp.dot(xa.astype(b_ref.dtype), b_ref[:],
-                 preferred_element_type=jnp.float32) + cst_ref[:]  # (BN, K)
+
+    def _split(v):
+        hi = v.astype(jnp.bfloat16)
+        return hi, (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def _dot3(u, v):
+        # manual bf16x3: Mosaic has no Precision.HIGH, so emit the
+        # hi·hi + hi·lo + lo·hi passes ourselves (error ~2^-22 relative,
+        # ≈f32; skips only the negligible lo·lo term)
+        uh, ul = _split(u)
+        vh, vl = _split(v)
+        # pin DEFAULT precision: the operands are already bf16 and the
+        # package-wide highest default would ask Mosaic for an fp32
+        # contraction on bf16 vectors (unsupported)
+        f = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+        return f(uh, vh) + (f(uh, vl) + f(ul, vh))
+
+    # density matmul: bf16 single-pass in fast mode (softmax posteriors
+    # tolerate it); multi-pass f32 otherwise.  The constant row stays f32
+    # so the log-weight/normaliser offsets never lose precision.
+    if prec == "bf16x3":
+        ld = _dot3(xa, b_ref[:]) + cst_ref[:]             # (BN, K)
+    else:
+        ld = jnp.dot(xa.astype(b_ref.dtype), b_ref[:],
+                     preferred_element_type=jnp.float32,
+                     precision=prec) + cst_ref[:]         # (BN, K)
     m = jnp.max(ld, axis=-1, keepdims=True)
     p = jnp.exp(ld - m)
     ssum = jnp.sum(p, axis=-1, keepdims=True)
     llk = jnp.log(ssum) + m                         # (BN, 1)
     gw = p * (wb / ssum)                            # weighted posteriors
-    stats = jnp.dot(gw.T, xa,
-                    preferred_element_type=jnp.float32)     # (K, A)
+    if prec == "bf16x3":
+        stats = _dot3(gw.T, xa)                             # (K, A)
+    else:
+        stats = jnp.dot(gw.T, xa,
+                        preferred_element_type=jnp.float32,
+                        precision=prec)                     # (K, A)
     acc_ref[0:k, :] += stats
     a = xa.shape[1]
     upd = jnp.concatenate(
@@ -80,32 +105,46 @@ def _em_stats_kernel(k, xa_ref, w_ref, b_ref, cst_ref, out_ref, acc_ref):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block", "interpret", "compute_dtype"))
+                   static_argnames=("block", "interpret", "compute_dtype",
+                                    "mxu_precision"))
 def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
-                   block: int = 1024, interpret: bool = False,
-                   compute_dtype=None) -> EmStats:
+                   block: int | None = None, interpret: bool = False,
+                   compute_dtype=None,
+                   mxu_precision: str = "bf16x3") -> EmStats:
     """Drop-in fused replacement for kernels.em_stats_chunked.
 
-    ``compute_dtype=jnp.bfloat16`` runs the log-density matmul with bf16
-    operands (f32 accumulation): the A=2D+2 contraction pads to the
-    128-lane MXU either way, and bf16 halves that pass's tile time.  The
-    sufficient-stats matmul stays f32 — bf16 stats feed the catastrophic
-    E[x²]−E[x]² cancellation in the M-step and visibly degrade EM.  This
-    is the TPU analogue of the reference's ``-ffast-math`` build flag
-    (configure.ac:21) — a speed/accuracy knob, off by default; EM
-    converges to the same likelihood within 5e-3 (see
-    tests/test_pallas_kernel.py).
+    ``mxu_precision`` picks the matmul arithmetic (v5e measurements at
+    K=2048, D=39, 1M frames — scripts/sweep_fused.py):
 
-    ``block=1024`` is the measured v5e sweet spot at K=2048 (50.8M
-    frames/s vs 48.4M at 512); the (block, K) log-density tile is the
-    VMEM limiter — 8 MB at 1024, and 2048 exceeds the 16 MB scoped-VMEM
-    budget.  At this point the kernel is VPU-bound on the softmax
-    ``exp`` (bf16 density matmul measures identical), i.e. at the
-    exact-EM speed of light for this architecture.
+    =============  ==========  =======================================
+    mode           Mframe/s    max occupancy rel-err vs f64
+    =============  ==========  =======================================
+    bf16x3 (dflt)  27.1        3.2e-4 (the f32 accumulation floor)
+    highest (6x)   20.5        3.2e-4
+    bf16 1-pass    28.3        5.6e-2  (via compute_dtype=bf16)
+    =============  ==========  =======================================
+
+    bf16x3 = manual hi/lo-split 3-pass (Mosaic lacks Precision.HIGH):
+    f32-grade logits at ~96 % of single-pass speed — the kernel is
+    VPU-bound on the softmax ``exp``, so the extra MXU passes are nearly
+    free.  ``compute_dtype=jnp.bfloat16`` is the TPU analogue of the
+    reference's ``-ffast-math`` build flag (configure.ac:21) — a
+    speed/accuracy knob, off by default; EM converges to the same
+    likelihood within 5e-3 (tests/test_pallas_kernel.py), but percent-
+    level occupancy noise forfeits reference parity.
+
+    ``block``: the (block, K) density tile is the VMEM limiter; 512 fits
+    every mode under the raised scoped-vmem budget and measures within
+    2 % of 1024, so it is the f32-mode default (1024 for bf16).
     """
     n, d = x.shape
     k = gmm.n_components
     a = 2 * d + 2
+    if block is None:
+        # f32/HIGHEST runs the density matmul in 3 MXU passes with extra
+        # scratch: (1024, K=2048) tiles overflow the 16 MB scoped-VMEM
+        # budget, so halve the block; bf16 keeps the 1024 sweet spot.
+        block = 1024 if compute_dtype == jnp.bfloat16 else 512
     pad = (-n) % block
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)])
@@ -121,9 +160,20 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
                           jnp.zeros((total, 1), x.dtype)], axis=1)  # (N, A)
     if compute_dtype is not None:
         b = b.astype(compute_dtype)
+    # f32 mode runs the matmuls at multi-pass precision: one bf16 pass
+    # rounds logits by ~5e-2 and softmax occupancies by percents
+    # (scripts/debug_fused.py).  bf16 mode (the fastMath knob) uses the
+    # single-pass default.
+    if compute_dtype == jnp.bfloat16:
+        prec = jax.lax.Precision.DEFAULT
+    elif mxu_precision in ("bf16x3", "high"):
+        prec = "bf16x3"            # Mosaic has no Precision.HIGH; use the
+        # manual 3-pass split (same arithmetic)
+    else:
+        prec = getattr(jax.lax.Precision, mxu_precision.upper())
     grid = total // block
     out = pl.pallas_call(
-        functools.partial(_em_stats_kernel, k),
+        functools.partial(_em_stats_kernel, k, prec),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((block, a), lambda i: (i, 0),
@@ -138,6 +188,10 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
         out_shape=jax.ShapeDtypeStruct((k + 1, a), jnp.float32),
         scratch_shapes=[pltpu.VMEM((k + 1, a), jnp.float32)],
         interpret=interpret,
+        # the default 16 MB scoped-vmem cap rejects the multi-pass f32
+        # modes at block≥512; v5e has 128 MB of physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * total * k * a,
             bytes_accessed=total * a * 4 + k * a * 4 * 2,

@@ -19,6 +19,8 @@ the jitted kernels.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -29,7 +31,8 @@ from ..gmm.kernels import em_stats
 from ..gmm.map_adapt import MapCfg, adapt_model
 from ..gmm.model import GmmDiag
 from .clustering import glr_window_distance
-from .hmm import DiarHmm, path_to_segments, viterbi_decode
+from .hmm import (DiarHmm, compute_transitions, path_to_segments,
+                  viterbi_decode, _viterbi)
 
 
 def create_world(key, x: jax.Array, w: jax.Array, max_distrib: int,
@@ -55,16 +58,19 @@ def seg_adaptation(key, x: jax.Array, hmm: DiarHmm, path: np.ndarray,
     states that lost all data (reference segAdaptation, Tools.cpp:1276 →
     NoDataSpeakerVerification, Tools.cpp:862-908).  Returns the updated
     HMM and the kept state indices."""
-    keep, models, names = [], [], []
-    for si in range(hmm.n_states):
-        mask = (path == si).astype(np.float32)
-        if mask.sum() < min_state_frames:
-            continue            # zero-data speaker: deleted
-        key, kk = jax.random.split(key)
-        models.append(_train_state_model(kk, x, jnp.asarray(mask), world))
-        names.append(hmm.names[si])
-        keep.append(si)
-    return DiarHmm.from_gmms(models, names), keep
+    s = hmm.n_states
+    masks = (np.asarray(path)[None, :] == np.arange(s)[:, None]
+             ).astype(np.float32)
+    keep = [si for si in range(s) if masks[si].sum() >= min_state_frames]
+    adapted = _batched_state_adapt(jax.random.split(key, s), x,
+                                   jnp.asarray(masks), world)
+    idx = np.asarray(keep, np.int64)
+    kept = jax.tree.map(lambda a: a[idx], adapted)
+    names = [hmm.names[si] for si in keep]
+    return DiarHmm(gmms=kept, names=names,
+                   log_trans=jnp.log(jnp.asarray(
+                       compute_transitions(len(keep)), jnp.float32) + 1e-30)
+                   ), keep
 
 
 def turn_detection(x: np.ndarray, window: int = 50, alpha: float = 0.6,
@@ -98,6 +104,36 @@ def _train_state_model(key, x, w, world: GmmDiag, map_reg: float = 16.0,
     return adapt_model(key, x, w, world, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("map_reg", "nb_it"))
+def _batched_state_adapt(keys, x, masks, world: GmmDiag,
+                         map_reg: float = 16.0, nb_it: int = 3) -> GmmDiag:
+    """MAP-adapt one state model per mask row in a single vmapped device
+    call — replaces the reference's serial per-speaker segAdaptation loop
+    (Tools.cpp:1276).  Rows with an all-zero mask come back ≈world (zero
+    occupancy MAP keeps the prior), so callers can pad to a static state
+    count and reuse one compiled executable for the whole E-HMM run."""
+    cfg = MapCfg(method="MAPOccDep", mean_adapt=True, weight_adapt=True,
+                 mean_r=map_reg, weight_r=map_reg, nb_train_it=nb_it)
+    return jax.vmap(lambda k, m: adapt_model(k, x, m, world, cfg))(keys, masks)
+
+
+def _merge_state_rows(old: GmmDiag, new: GmmDiag, take_new) -> GmmDiag:
+    """Per-state select between two stacked-GMM pytrees."""
+    return jax.tree.map(
+        lambda o, nw: jnp.where(
+            jnp.reshape(take_new, (-1,) + (1,) * (o.ndim - 1)), nw, o),
+        old, new)
+
+
+@jax.jit
+def _masked_emissions(x, gmms: GmmDiag, active_mask) -> jax.Array:
+    """Per-frame per-state emissions with inactive (padding) states forced
+    to −1e30 so Viterbi never enters them."""
+    from .hmm import emission_llk
+    em = emission_llk(x, DiarHmm(gmms=gmms, names=[], log_trans=None))
+    return jnp.where(active_mask[None, :] > 0, em, -1e30)
+
+
 def e_hmm_segmentation(
     x: np.ndarray,
     world: GmmDiag,
@@ -114,21 +150,44 @@ def e_hmm_segmentation(
     Iteratively: pick the region worst-explained by existing speakers as
     the seed of a new speaker, MAP-train its model, re-decode with the
     grown HMM, until max_speakers or no region left.
-    Returns (segments, state path)."""
+
+    TPU shape discipline: the state bank is padded to a static
+    ``max_speakers`` rows with an activity mask, so the whole run reuses
+    exactly one compiled executable each for {batched MAP re-adaptation,
+    masked emissions, Viterbi} — instead of recompiling at every speaker
+    count (the reference's host loop is O(speakers²) model retrains,
+    Segmentation.cpp:356-484).  Returns (segments, state path)."""
     xj = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
-    w_all = jnp.ones((n,), jnp.float32)
+    s_max = max(max_speakers, 1)
     key = jax.random.key(seed)
+
+    def full_log_trans(active: int) -> jax.Array:
+        t = np.full((s_max, s_max), 1e-30)
+        t[:active, :active] = compute_transitions(active)
+        return jnp.log(jnp.asarray(t, jnp.float32))
+
+    def adapt(masks_np: np.ndarray, k) -> GmmDiag:
+        return _batched_state_adapt(jax.random.split(k, s_max), xj,
+                                    jnp.asarray(masks_np), world)
+
+    # state 0 trained on all frames (reference addSpeaker on L0 world)
+    masks = np.zeros((s_max, n), np.float32)
+    masks[0] = 1.0
     key, k0 = jax.random.split(key)
-    models = [_train_state_model(k0, xj, w_all, world)]
+    bank = adapt(masks, k0)
+    active = 1
     names = ["S0"]
-    path = np.zeros(n, np.int64)
-    from .hmm import emission_llk
+
+    def decode(bank, active):
+        amask = jnp.asarray(np.arange(s_max) < active, jnp.float32)
+        em = _masked_emissions(xj, bank, amask)
+        path = np.asarray(_viterbi(em, full_log_trans(active)))
+        return path, np.asarray(em)
+
+    path, em = decode(bank, active)
     for spk in range(1, max_speakers):
-        hmm = DiarHmm.from_gmms(models, names)
-        path = viterbi_decode(xj, hmm)
-        # per-frame LLK of the assigned state → find the worst window
-        em = np.asarray(emission_llk(xj, hmm))
+        # per-frame LLK of the assigned state → worst window seeds S_spk
         assigned = em[np.arange(n), path]
         if n <= init_seg_frames:
             break
@@ -136,28 +195,28 @@ def e_hmm_segmentation(
                                     np.ones(init_seg_frames) / init_seg_frames,
                                     mode="valid")
         start = int(np.argmin(window_scores))
-        seed_mask = np.zeros(n, np.float32)
-        seed_mask[start:start + init_seg_frames] = 1.0
+        seed_masks = np.zeros((s_max, n), np.float32)
+        seed_masks[spk, start:start + init_seg_frames] = 1.0
         key, ks = jax.random.split(key)
-        new_model = _train_state_model(ks, xj, jnp.asarray(seed_mask), world)
-        models.append(new_model)
+        bank = _merge_state_rows(
+            bank, adapt(seed_masks, ks),
+            jnp.asarray(np.arange(s_max) == spk))
+        active = spk + 1
         names.append(f"S{spk}")
-        # iterative decode + re-adapt (reference nbDecodeIt loop)
+        # iterative decode + batched re-adapt (reference nbDecodeIt loop)
         for _ in range(nb_decode_it):
-            hmm = DiarHmm.from_gmms(models, names)
-            path = viterbi_decode(xj, hmm)
-            for si in range(len(models)):
-                mask = (path == si).astype(np.float32)
-                if mask.sum() < 10:
-                    continue
-                key, ka = jax.random.split(key)
-                models[si] = _train_state_model(ka, xj, jnp.asarray(mask),
-                                                world)
+            path, em = decode(bank, active)
+            masks = (path[None, :] == np.arange(s_max)[:, None]
+                     ).astype(np.float32)
+            counts = masks.sum(axis=1)
+            key, ka = jax.random.split(key)
+            # states with <10 assigned frames keep their previous model
+            bank = _merge_state_rows(bank, adapt(masks, ka),
+                                     jnp.asarray(counts >= 10))
         if verbose:
-            counts = np.bincount(path, minlength=len(models))
-            print(f"E-HMM: {len(models)} speakers, frames/state={counts}")
-    hmm = DiarHmm.from_gmms(models, names)
-    path = viterbi_decode(xj, hmm)
+            print(f"E-HMM: {active} speakers, "
+                  f"frames/state={np.bincount(path, minlength=active)}")
+    path, _ = decode(bank, active)
     segs = path_to_segments(path, names, frame_length, min_duration)
     return segs, path
 
@@ -179,32 +238,37 @@ def resegmentation(
     xj = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     names = sorted({s.label for s in segments})
+    s = len(names)
     key = jax.random.key(seed)
-    models = []
-    for nm in names:
-        mask = segments_to_frame_mask(
-            [s for s in segments if s.label == nm], n, frame_length)
-        key, kk = jax.random.split(key)
-        models.append(_train_state_model(kk, xj,
-                                         jnp.asarray(mask, jnp.float32),
-                                         world))
+    masks = np.stack([
+        np.asarray(segments_to_frame_mask(
+            [sg for sg in segments if sg.label == nm], n, frame_length),
+            np.float32)
+        for nm in names])                                   # (S, N)
+    key, k0 = jax.random.split(key)
+    bank = _batched_state_adapt(jax.random.split(k0, s), xj,
+                                jnp.asarray(masks), world)
+    # static (S,)-shaped state bank + activity mask: dropped speakers get
+    # −1e30 emissions instead of a shape change, so the nb_it loop reuses
+    # one compiled executable per kernel
+    active = np.ones(s, bool)
     path = None
     for _ in range(nb_it):
-        hmm = DiarHmm.from_gmms(models, names)
-        path = viterbi_decode(xj, hmm)
-        keep = []
-        for si, nm in enumerate(names):
-            mask = (path == si).astype(np.float32)
-            if mask.sum() >= min_state_frames:
-                key, kk = jax.random.split(key)
-                models[si] = _train_state_model(kk, xj, jnp.asarray(mask),
-                                                world)
-                keep.append(si)
-        if len(keep) < len(names):   # drop irrelevant speakers
-            models = [models[i] for i in keep]
-            names = [names[i] for i in keep]
-    hmm = DiarHmm.from_gmms(models, names)
-    path = viterbi_decode(xj, hmm)
+        em = _masked_emissions(xj, bank, jnp.asarray(active, jnp.float32))
+        path = np.asarray(_viterbi(
+            em, jnp.log(jnp.asarray(compute_transitions(s), jnp.float32)
+                        + 1e-30)))
+        masks = (path[None, :] == np.arange(s)[:, None]).astype(np.float32)
+        counts = masks.sum(axis=1)
+        active &= counts >= min_state_frames   # drop irrelevant speakers
+        key, kk = jax.random.split(key)
+        bank = _batched_state_adapt(jax.random.split(kk, s), xj,
+                                    jnp.asarray(masks * active[:, None]),
+                                    world)
+    em = _masked_emissions(xj, bank, jnp.asarray(active, jnp.float32))
+    path = np.asarray(_viterbi(
+        em, jnp.log(jnp.asarray(compute_transitions(s), jnp.float32)
+                    + 1e-30)))
     return path_to_segments(path, names, frame_length, min_duration), path
 
 

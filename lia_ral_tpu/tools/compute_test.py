@@ -120,17 +120,35 @@ def main(cfg: Config) -> list[ScoreLine]:
     model_cache: dict[str, GmmDiag] = {}
     for test_name, model_names in ndx:
         model_names = model_names[:max_clients]
-        fs, mask = load_features_and_mask([test_name], cfg)
+        # per-line failure containment: the reference catches
+        # alize::Exception per NDX line, warns, and moves on
+        # (recovery model = rerun the failed shard; TrainWorld.cpp:
+        # 187-189, TrainTarget.cpp:141-150)
+        try:
+            fs, mask = load_features_and_mask([test_name], cfg)
+        except Exception as e:
+            print(f"WARNING: cannot read test segment [{test_name}]: {e}"
+                  " — line skipped")
+            continue
         if mask.sum() == 0:
             print(f"ATTENTION, TEST FILE [{test_name}] is empty")
             continue
-        clients = []
+        clients, kept = [], []
         for mn in model_names:
             if mn not in model_cache:
                 if max_cached and len(model_cache) >= max_cached:
                     model_cache.clear()
-                model_cache[mn] = GmmDiag.load(mixture_path(mn, cfg))
+                try:
+                    model_cache[mn] = GmmDiag.load(mixture_path(mn, cfg))
+                except Exception as e:
+                    print(f"WARNING: cannot load model [{mn}]: {e}"
+                          " — model skipped")
+                    continue
             clients.append(model_cache[mn])
+            kept.append(mn)
+        model_names = kept
+        if not clients:
+            continue
         stacked = stack_gmms(clients)
         segs = frame_mask_to_segments(mask > 0, frame_length)
         sel = np.nonzero(mask > 0)[0]

@@ -35,22 +35,28 @@ def accumulate_session_stats(cfg: Config, gmm: GmmDiag, verbose=False
                              ) -> tuple[JfaStats, list[str], list[str]]:
     ndx = read_ndx(cfg.get_str("ndxFilename"))
     spk_names, sess_names, sess_spk = [], [], []
-    rows_n, rows_f = [], []
+    entries = []
     for spk, files in ndx:
         if spk not in spk_names:
             spk_names.append(spk)
         sid = spk_names.index(spk)
         for f in (files if files else [spk]):
-            fs, mask = load_features_and_mask([f], cfg)
-            n, fmat = accumulate_bw_stats(jnp.asarray(fs.data),
-                                          jnp.asarray(mask), gmm)
-            rows_n.append(n)
-            rows_f.append(fmat)
+            try:
+                fs, mask = load_features_and_mask([f], cfg)
+            except Exception as e:
+                print(f"WARNING: cannot read session [{f}]: {e}"
+                      " — session skipped")
+                continue
+            entries.append((np.asarray(fs.data),
+                            np.asarray(mask, np.float32)))
             sess_names.append(f)
             sess_spk.append(sid)
             if verbose:
                 print(f"stats [{spk}/{f}]: {int(mask.sum())} frames")
-    sess = BwStats(n=jnp.stack(rows_n), f=jnp.stack(rows_f))
+    from ..fa.stats import bw_stats_bucketed
+    sess = bw_stats_bucketed(entries, gmm,
+                             bucket=cfg.get_int("statsBucketFrames", 2048),
+                             batch_size=cfg.get_int("statsBatchSize", 64))
     stats = JfaStats.from_sessions(sess, np.asarray(sess_spk),
                                    len(spk_names))
     return stats, spk_names, sess_names

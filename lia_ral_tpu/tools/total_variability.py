@@ -41,20 +41,33 @@ def accumulate_stats_from_ndx(cfg: Config, gmm: GmmDiag,
     (AccumulateTVStat.h:78-191); here each NDX line is one session.
     """
     ndx = read_ndx(cfg.get_str("ndxFilename"))
-    names, rows_n, rows_f = [], [], []
+    # Sessions are length-bucketed (pad to a multiple of statsBucketFrames)
+    # and dispatched as (batch, T, D) bw_stats_batch calls: one compiled
+    # executable per bucket shape and one device round-trip per batch,
+    # instead of one per session — the TPU shape of the reference's
+    # per-thread static file-list split (AccumulateTVStat.cpp:478-551).
+    bucket = max(cfg.get_int("statsBucketFrames", 2048), 1)
+    batch_size = max(cfg.get_int("statsBatchSize", 64), 1)
+    entries: list[tuple[str, np.ndarray, np.ndarray]] = []
     for session, files in ndx:
         if not files:
             files = [session]
-        fs, mask = load_features_and_mask(files, cfg)
-        from ..fa.stats import accumulate_bw_stats
-        n, f = accumulate_bw_stats(jnp.asarray(fs.data), jnp.asarray(mask),
-                                   gmm)
-        names.append(session)
-        rows_n.append(n)
-        rows_f.append(f)
+        try:
+            fs, mask = load_features_and_mask(files, cfg)
+        except Exception as e:
+            # reference recovery model: warn, skip the session, rerun the
+            # failed shard later (TrainTarget.cpp:141-150 pattern)
+            print(f"WARNING: cannot read session [{session}]: {e}"
+                  " — session skipped")
+            continue
+        entries.append((session, np.asarray(fs.data),
+                        np.asarray(mask, np.float32)))
         if verbose:
             print(f"stats [{session}]: {int(mask.sum())} frames")
-    stats = BwStats(n=jnp.stack(rows_n), f=jnp.stack(rows_f))
+    from ..fa.stats import bw_stats_bucketed
+    stats = bw_stats_bucketed([(x, m) for _, x, m in entries], gmm,
+                              bucket=bucket, batch_size=batch_size)
+    names = [name for name, _, _ in entries]
     return stats, names
 
 

@@ -186,3 +186,42 @@ def test_compute_test_skip_existing_output(tmp_path):
                   "ndxFilename": "/nonexistent"})
     res = compute_test.main(cfg)   # must not touch the missing ndx
     assert len(res) == 1 and res[0].score == 2.5
+
+
+def test_compute_test_warns_and_continues_on_bad_line(tmp_path, rng, capsys):
+    """A missing test segment or missing model must not abort the NDX run
+    (reference per-line alize::Exception catch; TrainWorld.cpp:187-189)."""
+    import jax
+    from lia_ral_tpu.gmm import TrainCfg, mixture_init, train_model
+    from lia_ral_tpu.io.lists import write_xlist
+    from lia_ral_tpu.tools import compute_test
+
+    d = str(tmp_path)
+    dim, k = 6, 4
+    x = (rng.standard_normal((2000, dim)) * 2).astype(np.float32)
+    xj = jnp.asarray(x)
+    w = jnp.ones(2000, jnp.float32)
+    world = train_model(jax.random.key(0), xj, w,
+                        mixture_init(jax.random.key(1), xj, w, k),
+                        TrainCfg(nb_train_it=2))
+    world.save(os.path.join(d, "wld.gmm"))
+    world.save(os.path.join(d, "spk1.gmm"))
+    write_feature_file(os.path.join(d, "seg1.prm"), x[:300], fmt="SPRO4")
+    # line 1: missing feature file; line 2: good seg, one missing model
+    write_xlist(os.path.join(d, "ndx"),
+                [["missing_seg", "spk1"], ["seg1", "ghost", "spk1"]])
+    cfg = Config({
+        "featureFilesPath": d + "/", "mixtureFilesPath": d + "/",
+        "labelFilesPath": d + "/",
+        "loadFeatureFileFormat": "SPRO4", "loadFeatureFileExtension": ".prm",
+        "loadMixtureFileExtension": ".gmm",
+        "addDefaultLabel": "true", "defaultLabel": "speech",
+        "labelSelectedFrames": "speech",
+        "ndxFilename": os.path.join(d, "ndx"),
+        "inputWorldFilename": "wld",
+        "outputFilename": os.path.join(d, "scores.nist"),
+    })
+    res = compute_test.main(cfg)
+    outtxt = capsys.readouterr().out
+    assert "missing_seg" in outtxt and "ghost" in outtxt
+    assert len(res) == 1 and res[0].model == "spk1" and res[0].seg == "seg1"
