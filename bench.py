@@ -97,25 +97,18 @@ def main() -> None:
     fused_ok = bool(dev_n < 2e-3 and dev_llk < 1e-5)
 
     # ---- stage B: Baum-Welch (N,F) stats over utterances ------------------
-    s_utts = N_FRAMES // T_UTT                    # 500
-    grp = 16
-    s_pad = ((s_utts + grp - 1) // grp) * grp
-    xu = jnp.concatenate(
-        [x, jnp.zeros((s_pad * T_UTT - N_FRAMES, D), x.dtype)]
-    ).reshape(s_pad // grp, grp, T_UTT, D)
-    mu_mask = (jnp.arange(s_pad) < s_utts).astype(jnp.float32)
+    # the public path (fa.stats.bw_stats_batch) dispatches to the fused
+    # per-utterance Pallas kernel on TPU
+    from lia_ral_tpu.fa.stats import bw_stats_batch
 
-    @jax.jit
+    s_utts = N_FRAMES // T_UTT                    # 500
+    xu = x[: s_utts * T_UTT].reshape(s_utts, T_UTT, D)
+    mu_mask = jnp.ones((s_utts,), jnp.float32)
+    wm = jnp.ones((s_utts, T_UTT), jnp.float32)
+
     def bw_pass(xu, gmm):
-        def group(xg):
-            def one(xs):
-                _, post = llk_and_posteriors(xs, gmm)
-                n = jnp.sum(post, axis=0)
-                f = jnp.dot(post.T, xs, preferred_element_type=jnp.float32)
-                return n, f
-            return jax.vmap(one)(xg)
-        n, f = jax.lax.map(group, xu)
-        return n.reshape(s_pad, K), f.reshape(s_pad, K, D)
+        st = bw_stats_batch(xu, wm, gmm)
+        return st.n, st.f
 
     n_st, f_st = jax.tree.map(lambda a: a.block_until_ready(), bw_pass(xu, gmm))
     float(n_st[0, 0])
@@ -124,6 +117,7 @@ def main() -> None:
         n_st, f_st = bw_pass(xu, gmm)
     float(n_st[0, 0])
     t_bw = (time.perf_counter() - t0) / 3
+    s_pad = s_utts
 
     # ---- stage C: exact i-vector extraction (R=400) -----------------------
     t_mat = jnp.asarray(rng.standard_normal((R, K, D)) * 0.01, jnp.float32)

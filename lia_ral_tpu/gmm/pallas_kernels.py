@@ -201,3 +201,126 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
     return EmStats(n=out[:k, 2 * d], sum_x=out[:k, d:2 * d],
                    sum_xx=out[:k, :d],
                    llk=out[k, 0], count=out[k, 1])
+
+
+def _bw_stats_kernel(k, prec, xa_ref, w_ref, b_ref, cst_ref, out_ref,
+                     acc_ref):
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xa = xa_ref[0]                                  # (BT, A) [x², x, 1, 0]
+    wb = w_ref[0]                                   # (BT, 1)
+
+    def _split(v):
+        hi = v.astype(jnp.bfloat16)
+        return hi, (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def _dot3(u, v):
+        uh, ul = _split(u)
+        vh, vl = _split(v)
+        f = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+        return f(uh, vh) + (f(uh, vl) + f(ul, vh))
+
+    if prec == "bf16x3":
+        ld = _dot3(xa, b_ref[:]) + cst_ref[:]
+    else:
+        ld = jnp.dot(xa.astype(b_ref.dtype), b_ref[:],
+                     preferred_element_type=jnp.float32,
+                     precision=prec) + cst_ref[:]
+    m = jnp.max(ld, axis=-1, keepdims=True)
+    p = jnp.exp(ld - m)
+    ssum = jnp.sum(p, axis=-1, keepdims=True)
+    llk = jnp.log(ssum) + m
+    gw = p * (wb / ssum)
+    if prec == "bf16x3":
+        stats = _dot3(gw.T, xa)
+    else:
+        stats = jnp.dot(gw.T, xa, preferred_element_type=jnp.float32,
+                        precision=prec)
+    acc_ref[0:k, :] += stats
+    a = xa.shape[1]
+    upd = jnp.concatenate(
+        [jnp.sum(llk * wb)[None], jnp.sum(wb)[None],
+         jnp.zeros((a - 2,), jnp.float32)]).reshape(1, a)
+    acc_ref[k:k + 1, :] += upd
+
+    @pl.when(t == n_t - 1)
+    def _write():
+        out_ref[0] = acc_ref[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "interpret", "compute_dtype",
+                                    "mxu_precision"))
+def bw_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
+                   block: int | None = None, interpret: bool = False,
+                   compute_dtype=None, mxu_precision: str = "bf16x3"):
+    """Per-utterance Baum-Welch (N, F) stats, fused in VMEM.
+
+    x: (S, T, D) padded utterance batch; w: (S, T) frame weights.
+    Returns (n (S, K), f (S, K, D), llk (S,)) — the TVAcc/JFAAcc hot
+    loop (AccumulateTVStat.cpp:281-351) as a grid of the same
+    two-augmented-matmul blocks as ``em_stats_fused``, with a per-
+    utterance VMEM accumulator instead of a global one.  Replaces the
+    XLA path's triple HBM round-trip of the (T, K) posterior block
+    (measured 2.0x: 12.2 -> 24.6 Mframe/s at K=2048, see PERF.md).
+    """
+    s, t, d = x.shape
+    k = gmm.n_components
+    a = 2 * d + 2
+    if block is None:
+        block = 1024 if compute_dtype == jnp.bfloat16 else 512
+    pad = (-t) % block
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((s, pad, d), x.dtype)], axis=1)
+        w = jnp.concatenate([w, jnp.zeros((s, pad), w.dtype)], axis=1)
+    t_pad = x.shape[1]
+    mi = gmm.means * gmm.cov_inv
+    cst = (-0.5 * (d * _LOG_2PI - jnp.sum(jnp.log(gmm.cov_inv), axis=-1))
+           - 0.5 * jnp.sum(gmm.means * mi, axis=-1)
+           + jnp.log(gmm.weights))
+    b = jnp.concatenate([-0.5 * gmm.cov_inv.T, mi.T,
+                         jnp.zeros((2, k), jnp.float32)], axis=0)
+    xa = jnp.concatenate([x * x, x, jnp.ones((s, t_pad, 1), x.dtype),
+                          jnp.zeros((s, t_pad, 1), x.dtype)], axis=2)
+    if compute_dtype is not None:
+        b = b.astype(compute_dtype)
+    if compute_dtype == jnp.bfloat16:
+        prec = jax.lax.Precision.DEFAULT
+    elif mxu_precision in ("bf16x3", "high"):
+        prec = "bf16x3"
+    else:
+        prec = getattr(jax.lax.Precision, mxu_precision.upper())
+    out = pl.pallas_call(
+        functools.partial(_bw_stats_kernel, k, prec),
+        grid=(s, t_pad // block),
+        in_specs=[
+            pl.BlockSpec((1, block, a), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a, k), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k + 1, a), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s, k + 1, a), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k + 1, a), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s * t_pad * k * a,
+            bytes_accessed=s * t_pad * a * 4 + k * a * 4 * (s + 1),
+            transcendentals=s * t_pad * k,
+        ),
+    )(xa, w[:, :, None], b, cst[None, :])
+    return (out[:, :k, 2 * d], out[:, :k, d:2 * d], out[:, k, 0])

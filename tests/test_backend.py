@@ -282,3 +282,34 @@ def test_compute_norm_tool_sparse_matrix(tmp_path, rng):
             raw = 1.0 + mi + 0.1 * si
             np.testing.assert_allclose(out[(mm, ss)], (raw - mu) / sd,
                                        rtol=1e-4, atol=1e-4)
+
+
+def test_efr_rank_deficient_dev_preserves_separation(rng):
+    """EFR from a dev set SMALLER than the vector dimension must not
+    destroy speaker separation: the singular covariance's null space is
+    floored at the mean eigenvalue instead of being amplified by 1/sqrt(eps)
+    (observed: cosine EER 0 -> 0.5 before the guard)."""
+    import jax.numpy as jnp
+    from lia_ral_tpu.backend.eval import eer
+    from lia_ral_tpu.backend.ivnorm import (DevSet, apply_efr,
+                                            efr_iterations)
+    from lia_ral_tpu.backend.scoring import cosine_scores
+
+    r, n_spk = 48, 8                       # 24 dev vectors << 48 dims
+    spk_dir = rng.standard_normal((n_spk, r)) * 2.0
+    def draw(s, n):
+        return (spk_dir[s][None, :]
+                + rng.standard_normal((n, r))).astype(np.float32)
+    dev_v = np.concatenate([draw(s, 3) for s in range(n_spk)])
+    dev = DevSet.from_labels(dev_v, [f"s{s}" for s in range(n_spk)
+                                     for _ in range(3)])
+    _, params = efr_iterations(dev, 2, "EFR")
+    enroll = jnp.asarray(np.concatenate([draw(s, 1) for s in range(n_spk)]))
+    test = jnp.asarray(np.concatenate([draw(s, 2) for s in range(n_spk)]))
+    s_mat = np.asarray(cosine_scores(apply_efr(enroll, params),
+                                     apply_efr(test, params)))
+    tgt = [s_mat[i, j] for i in range(n_spk) for j in range(2 * n_spk)
+           if j // 2 == i]
+    imp = [s_mat[i, j] for i in range(n_spk) for j in range(2 * n_spk)
+           if j // 2 != i]
+    assert eer(np.asarray(tgt), np.asarray(imp)) < 0.1

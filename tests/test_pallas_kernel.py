@@ -118,3 +118,29 @@ def test_fused_bf16x3_matches_f32(rng):
     np.testing.assert_allclose(np.asarray(x3.sum_xx),
                                np.asarray(ref.sum_xx), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(float(x3.llk), float(ref.llk), rtol=1e-5)
+
+
+def test_bw_stats_fused_matches_xla(rng):
+    """Per-utterance fused BW kernel vs the vmapped XLA path, with ragged
+    masks and non-multiple T."""
+    from lia_ral_tpu.fa.stats import bw_stats_batch
+    from lia_ral_tpu.gmm.pallas_kernels import bw_stats_fused
+
+    s, t, d, k = 5, 70, 7, 16
+    w_ = rng.random(k) + 0.5
+    w_ /= w_.sum()
+    gmm = GmmDiag.create(w_, rng.standard_normal((k, d)),
+                         rng.random((k, d)) + 0.5)
+    x = jnp.asarray(rng.standard_normal((s, t, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((s, t)) > 0.3, jnp.float32)
+    n, f, llk = bw_stats_fused(x, mask, gmm, block=32, interpret=True)
+    ref = bw_stats_batch(x, mask, gmm, use_fused=False)
+    np.testing.assert_allclose(np.asarray(n), np.asarray(ref.n),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(ref.f),
+                               rtol=1e-3, atol=1e-3)
+    # llk row: weighted per-utterance log-likelihood
+    from lia_ral_tpu.gmm.kernels import frame_llk
+    for i in range(s):
+        want = float(jnp.sum(frame_llk(x[i], gmm) * mask[i]))
+        np.testing.assert_allclose(float(llk[i]), want, rtol=1e-5)
