@@ -44,9 +44,15 @@ __version__ = "0.1.0"
 # speed knob (config key ``fastMath``, the analogue of the reference's
 # -ffast-math build flag, configure.ac:21), or set
 # LIA_RAL_TPU_FAST_MATH=1 before import.
+#
+# NOTE this is a PROCESS-GLOBAL side effect (it changes numerics/perf of
+# any other JAX code in the process).  LIA_RAL_TPU_NO_GLOBAL_PRECISION=1
+# (set before first import) leaves the global config untouched; the
+# Pallas kernels keep their own explicit bf16x3 arithmetic either way.
 import os as _os
 
-if _os.environ.get("LIA_RAL_TPU_FAST_MATH", "0") != "1":
+if (_os.environ.get("LIA_RAL_TPU_FAST_MATH", "0") != "1"
+        and _os.environ.get("LIA_RAL_TPU_NO_GLOBAL_PRECISION", "0") != "1"):
     import jax as _jax
 
     _jax.config.update("jax_default_matmul_precision", "high")

@@ -14,7 +14,8 @@ import numpy as np
 from .server import (A_LOAD, A_RESET, A_SAVE, A_SEND,
                      F_LOAD, F_RESET, F_SAVE, F_SEND, G_LIST,
                      G_QUIT, G_RESET, G_SENDOPT, G_STATUS, I_DET, I_DETCUM,
-                     I_DETCUMR, I_ID, I_IDCUM, M_ADAPT, M_DEL, M_LOAD,
+                     I_DETCUMR, I_ID, I_IDCUM, I_IDCUMGETLIST,
+                     M_ADAPT, M_DEL, M_LOAD,
                      M_RESET, M_SAVE, M_TRAIN, M_WLOAD, RSD_NO_ERROR,
                      _recv_exact, send_command)
 
@@ -160,3 +161,15 @@ class RemoteSpkDetClient:
     def reset_accumulated_scores(self) -> None:
         send_command(self.sock, I_DETCUMR)
         self._status()
+
+    def cumulated_results(self) -> list[tuple[str, float]]:
+        """I_IDCUMGETLIST: per-speaker cumulated identification scores,
+        best first (SpkDetServerConstants.h:46)."""
+        send_command(self.sock, I_IDCUMGETLIST)
+        self._status()
+        count = struct.unpack("!I", _recv_exact(self.sock, 4))[0]
+        out = []
+        for _ in range(count):
+            score = struct.unpack("<f", _recv_exact(self.sock, 4))[0]
+            out.append((self._read_cstring(), score))
+        return out

@@ -92,7 +92,8 @@ class SpkDetServer:
                                b"A_RESET A_SAVE A_LOAD A_SEND "
                                b"F_RESET F_SAVE F_LOAD F_SEND M_RESET M_SAVE "
                                b"M_LOAD M_WLOAD M_DEL M_ADAPT M_TRAIN I_DET "
-                               b"I_ID I_DETCUM I_IDCUM I_DETCUMR I_IDCUMR\0")
+                               b"I_ID I_DETCUM I_IDCUM I_DETCUMR I_IDCUMR "
+                               b"I_IDCUMGETLIST\0")
             elif cmd == G_RESET:
                 if data:
                     self.cfg = Config.load(data.decode().rstrip("\0"))
@@ -183,6 +184,16 @@ class SpkDetServer:
             elif cmd in (I_DETCUMR, I_IDCUMR):
                 w.reset_accumulated_scores()
                 self._ok(sock)
+            elif cmd == I_IDCUMGETLIST:
+                # cumulated identification results, best first
+                # (SpkDetServerConstants.h:46; the reference declares the
+                # code without a handler — wire format here:
+                # [count:u32 BE] then per speaker [score:f32 LE][uid\0])
+                entries = w.accumulated_scores()
+                payload = struct.pack("!I", len(entries))
+                for uid, score in entries:
+                    payload += struct.pack("<f", score) + uid.encode() + b"\0"
+                self._ok(sock, payload)
             else:
                 self._err(sock)
         except Exception as e:  # reference catches and reports, keeps serving

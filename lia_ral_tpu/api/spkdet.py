@@ -159,6 +159,13 @@ class SimpleSpkDetSystem:
     def reset_accumulated_scores(self) -> None:
         self._accum.clear()
 
+    def accumulated_scores(self) -> list[tuple[str, float]]:
+        """Snapshot of the per-speaker cumulated scores built up by the
+        I_DETCUM/I_IDCUM commands (SpkDetServerConstants.h:46
+        I_IDCUMGETLIST), ordered by descending score."""
+        return sorted(((u, a.score) for u, a in self._accum.items()),
+                      key=lambda t: -t[1])
+
     def verify_speaker(self, uid: str, with_score_accumulation: bool = False
                        ) -> tuple[bool, float]:
         """verifySpeaker (cpp:975) → (decision, LLR score)."""

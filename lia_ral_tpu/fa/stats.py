@@ -92,6 +92,12 @@ def bw_stats_bucketed(entries, gmm: GmmDiag, bucket: int = 2048,
     the reference's static per-thread file-list split,
     AccumulateTVStat.cpp:478-551).  Row order == input order.
     """
+    if not entries:
+        # reachable when every session of an NDX failed to load (the
+        # tools warn-and-skip unreadable sessions) — fail with a clear
+        # message instead of an opaque stack-on-empty error
+        raise ValueError("bw_stats_bucketed: no readable sessions "
+                         "(every utterance of the list failed to load)")
     k, d = gmm.means.shape
     rows_n: list = [None] * len(entries)
     rows_f: list = [None] * len(entries)

@@ -213,6 +213,11 @@ def e_hmm_segmentation(
             # states with <10 assigned frames keep their previous model
             bank = _merge_state_rows(bank, adapt(masks, ka),
                                      jnp.asarray(counts >= 10))
+        # re-decode with the final adapted bank so the NEXT speaker's
+        # worst-window seeding (and the loop-exit path) uses fresh
+        # emissions — the reference re-decodes with the current HMM
+        # before seeding (Segmentation.cpp:459 then addSpeaker cpp:211)
+        path, em = decode(bank, active)
         if verbose:
             print(f"E-HMM: {active} speakers, "
                   f"frames/state={np.bincount(path, minlength=active)}")
@@ -252,12 +257,22 @@ def resegmentation(
     # −1e30 emissions instead of a shape change, so the nb_it loop reuses
     # one compiled executable per kernel
     active = np.ones(s, bool)
+
+    def log_trans(act: np.ndarray) -> jax.Array:
+        """Transitions over the REMAINING states embedded in the static
+        (s, s) matrix — the reference rebuilds the HMM over the surviving
+        speakers after a drop (ReSegmentation.cpp:245-328), so the
+        off-diagonal mass must be split over (n_active − 1) states, not
+        the original (s − 1)."""
+        t = np.full((s, s), 1e-30)
+        idx = np.nonzero(act)[0]
+        t[np.ix_(idx, idx)] = compute_transitions(max(len(idx), 1))
+        return jnp.log(jnp.asarray(t, jnp.float32))
+
     path = None
     for _ in range(nb_it):
         em = _masked_emissions(xj, bank, jnp.asarray(active, jnp.float32))
-        path = np.asarray(_viterbi(
-            em, jnp.log(jnp.asarray(compute_transitions(s), jnp.float32)
-                        + 1e-30)))
+        path = np.asarray(_viterbi(em, log_trans(active)))
         masks = (path[None, :] == np.arange(s)[:, None]).astype(np.float32)
         counts = masks.sum(axis=1)
         active &= counts >= min_state_frames   # drop irrelevant speakers
@@ -266,9 +281,7 @@ def resegmentation(
                                     jnp.asarray(masks * active[:, None]),
                                     world)
     em = _masked_emissions(xj, bank, jnp.asarray(active, jnp.float32))
-    path = np.asarray(_viterbi(
-        em, jnp.log(jnp.asarray(compute_transitions(s), jnp.float32)
-                    + 1e-30)))
+    path = np.asarray(_viterbi(em, log_trans(active)))
     return path_to_segments(path, names, frame_length, min_duration), path
 
 

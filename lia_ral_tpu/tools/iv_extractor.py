@@ -48,6 +48,16 @@ def main(cfg: Config) -> dict[str, np.ndarray]:
         w = estimate_w(stats, model,
                        chunk=cfg.get_int("speakerChunk", 64))
     elif mode == "ubmWeight":
+        # On CPU the reference uses this to dodge per-utterance L-inversion
+        # (IvExtractor.cpp:151); on TPU the exact batched-Cholesky path is
+        # ~27x FASTER than this approximation (PERF.md §2: 0.110 s vs
+        # 2.99 s for 512 utts at R=400) because the shared-cov iteration
+        # serialises.  Warn so the config knob doesn't silently slow users.
+        import jax as _jax
+        if _jax.default_backend() in ("tpu", "axon"):
+            print("WARNING: ivExtractionMode=ubmWeight is ~27x slower than "
+                  "'exact' on TPU (PERF.md §2) — the approximation only "
+                  "pays off on CPU. Consider ivExtractionMode=exact.")
         w_mat = read_matrix_file(matrix_out_path(
             cfg.get_str("totalVariabilityMatrix") + "_weightedCov", cfg))
         w = estimate_w_ubm_weight(stats, model, w_mat.astype(np.float32))

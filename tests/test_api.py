@@ -100,6 +100,16 @@ def test_tcp_server_client(world_and_data, tmp_path):
         dec, s, uid = cli.identify()
         assert uid == "alice"
         assert "alice" in cli.status()
+        # cumulated identification list (I_IDCUMGETLIST,
+        # SpkDetServerConstants.h:46): empty before any *CUM command,
+        # best-first entries for every scored speaker afterwards
+        assert cli.cumulated_results() == []
+        cli.identify(cumulative=True)
+        cum = cli.cumulated_results()
+        assert [u for u, _ in cum] == ["alice", "bob"]
+        assert cum[0][1] >= cum[1][1]
+        cli.reset_accumulated_scores()
+        assert cli.cumulated_results() == []
         # model save/load roundtrip over the wire
         mp = str(tmp_path / "alice.gmm")
         cli.save_speaker("alice", mp)
