@@ -56,3 +56,23 @@ if (_os.environ.get("LIA_RAL_TPU_FAST_MATH", "0") != "1"
     import jax as _jax
 
     _jax.config.update("jax_default_matmul_precision", "high")
+
+# Persistent XLA compilation cache: the operational model is a file DAG
+# of many short-lived CLI processes (the reference's binaries), so each
+# process would otherwise re-pay every 20-40 s device compile.  A shared
+# on-disk cache makes re-runs and downstream tools compile-free.  Opt
+# out with LIA_RAL_TPU_COMPILE_CACHE=0, or point it at a custom dir.
+_cache_dir = _os.environ.get("LIA_RAL_TPU_COMPILE_CACHE", "")
+if _cache_dir != "0":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _cache_dir or _os.path.expanduser("~/.cache/lia_ral_tpu_xla"))
+        # cache every executable (default only >1 s compiles) and never
+        # skip on fast compile times
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:   # cache support is best-effort per backend
+        pass

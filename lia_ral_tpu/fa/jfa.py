@@ -204,6 +204,110 @@ def estimate_z_map(stats: JfaStats, model: JfaModel, y: jax.Array,
     return num / den
 
 
+def estimate_yx_joint(stats: JfaStats, model: JfaModel, z: jax.Array
+                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Joint (y, x) posterior per SPEAKER over the stacked [V; U]
+    subspace — reference estimateVUEVUT (AccumulateJFAStat.cpp:1573,
+    Gram of the concatenated subspace) + estimateAndInverseL_VU
+    (cpp:2289) + estimateYX/splitYX (cpp:3518/3772), the enrollment path
+    of TrainTargetJFA (TrainTarget.cpp:521-536).  In this mode the
+    channel factor is tied per speaker (_YX is (n_speakers, Rv+Ru)): all
+    of a speaker's enrollment sessions share one x.
+
+    Returns (y (S,Rv), x_spk (S,Ru), joint posterior cov (S,Rv+Ru,Rv+Ru)).
+    """
+    rv = model.rank_v
+    vu = jnp.concatenate([model.v, model.u], axis=0)          # (Rv+Ru,K,D)
+    gram = _subspace_gram(vu, model.ubm_inv_var)
+    fbar = _center(stats.spk, model)
+    fbar = _subtract(fbar, stats.spk.n, model.d[None] * z)    # substractMplusDZ
+    yx, cov = _latent_posterior(vu, model.ubm_inv_var, gram,
+                                stats.spk.n, fbar)
+    return yx[:, :rv], yx[:, rv:], cov
+
+
+def estimate_z_joint(stats: JfaStats, model: JfaModel, y: jax.Array,
+                     x_spk: jax.Array, tau: float = 10.0) -> jax.Array:
+    """MAP residual z per speaker AFTER a joint (y, x) estimate —
+    reference substractMplusVUYX + estimateZ (TrainTarget.cpp:538-541):
+    the channel offset here uses the speaker-tied x, not per-session
+    factors."""
+    offset = (jnp.einsum("sr,rkd->skd", y, model.v)
+              + jnp.einsum("sr,rkd->skd", x_spk, model.u))
+    fbar = _center(stats.spk, model)
+    fbar = _subtract(fbar, stats.spk.n, offset)
+    num = model.d[None] * model.ubm_inv_var[None] * fbar
+    den = tau + stats.spk.n[..., None] * (
+        model.d[None] ** 2 * model.ubm_inv_var[None])
+    return num / den
+
+
+def enroll_targets_joint(stats: JfaStats, model: JfaModel,
+                         tau: float = 10.0
+                         ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """TrainTargetJFA enrollment (TrainTarget.cpp:393-560): one batched
+    joint (y, x) estimate over [V; U] followed by the residual z —
+    replaces the reference's per-speaker storeAccs/substract/restore
+    choreography with pure-functional batched algebra.  Returns
+    (y (S,Rv), x_spk (S,Ru), z (S,K,D))."""
+    z0 = jnp.zeros_like(stats.spk.f)
+    y, x_spk, _ = estimate_yx_joint(stats, model, z0)
+    z = estimate_z_joint(stats, model, y, x_spk, tau)
+    return y, x_spk, z
+
+
+def store_accs(stats: JfaStats) -> JfaStats:
+    """Reference storeAccs (AccumulateJFAStat.cpp:3777): snapshot the
+    N/F accumulators before the in-place substract* mutations of an EM
+    substep.  Our stats are immutable jax pytrees, so the snapshot is
+    the identity — kept as explicit API so tool flows mirror the
+    reference's storeAccs/restoreAccs pairing (EigenVoice.cpp:117/150)
+    and so host code can hold a named pre-substep reference."""
+    return stats
+
+
+def restore_accs(snapshot: JfaStats) -> JfaStats:
+    """Reference restoreAccs (AccumulateJFAStat.cpp:3786): return the
+    pre-substep accumulators.  See store_accs — with immutable stats the
+    snapshot IS the accumulator state."""
+    return snapshot
+
+
+def save_accs_npz(path: str, stats: JfaStats) -> None:
+    """Durable between-substep checkpoint of the full JFA accumulator
+    state (sessions + speaker aggregation + index) — the crash-recovery
+    flavour of storeAccs (the reference keeps them in RAM; loadAccs-style
+    restart is our file-DAG recovery model)."""
+    np.savez(path, spk_n=np.asarray(stats.spk.n),
+             spk_f=np.asarray(stats.spk.f),
+             sess_n=np.asarray(stats.sess.n),
+             sess_f=np.asarray(stats.sess.f),
+             sess_spk=np.asarray(stats.sess_spk))
+
+
+def load_accs_npz(path: str) -> JfaStats:
+    z = np.load(path)
+    return JfaStats(
+        spk=BwStats(n=jnp.asarray(z["spk_n"]), f=jnp.asarray(z["spk_f"])),
+        sess=BwStats(n=jnp.asarray(z["sess_n"]),
+                     f=jnp.asarray(z["sess_f"])),
+        sess_spk=jnp.asarray(z["sess_spk"]))
+
+
+def orthonormalize_v(model: JfaModel) -> JfaModel:
+    """Row-orthonormalise V in supervector layout — reference
+    orthonormalizeV (AccumulateJFAStat.cpp:4700, plain Gram-Schmidt over
+    rows of V).  QR on the transpose is the batched equivalent; signs
+    are fixed to the Gram-Schmidt convention (positive projection of
+    each original row on its orthonormalised self)."""
+    rv = model.rank_v
+    flat = model.v.reshape(rv, -1)                            # (Rv, KD)
+    q, r = jnp.linalg.qr(flat.T)                              # (KD,Rv)
+    sign = jnp.sign(jnp.diagonal(r))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    return model.replace(v=(q * sign[None, :]).T.reshape(model.v.shape))
+
+
 # -- subspace EM updates ------------------------------------------------------
 
 @struct.dataclass

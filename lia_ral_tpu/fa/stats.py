@@ -108,8 +108,11 @@ def bw_stats_bucketed(entries, gmm: GmmDiag, bucket: int = 2048,
     for plen, idxs in by_len.items():
         for s0 in range(0, len(idxs), batch_size):
             grp = idxs[s0:s0 + batch_size]
-            xs = np.zeros((len(grp), plen, d), np.float32)
-            ms = np.zeros((len(grp), plen), np.float32)
+            # pad the batch axis to the next power of two (zero-weight
+            # utterances) so ragged tail batches reuse compiled shapes
+            b_pad = 1 << max(len(grp) - 1, 0).bit_length()
+            xs = np.zeros((b_pad, plen, d), np.float32)
+            ms = np.zeros((b_pad, plen), np.float32)
             for j, i in enumerate(grp):
                 x, m = entries[i]
                 xs[j, :x.shape[0]] = x

@@ -106,8 +106,17 @@ def eigen_voice_main(cfg: Config) -> JfaModel:
     d = gmm.means.shape[1]
     x = jnp.zeros((stats.sess.n.shape[0], rank_u), jnp.float32)
     z = jnp.zeros((s, k, d), jnp.float32)
+    # the reference snapshots accumulators before each substep's in-place
+    # mutations (storeAccs/restoreAccs, EigenVoice.cpp:117/150); with
+    # immutable stats the pairing is an explicit no-op kept for flow parity
+    from ..fa.jfa import orthonormalize_v, restore_accs, store_accs
+    snapshot = store_accs(stats)
+    ortho = cfg.get_bool("orthonormalizeV", False)   # EigenVoice.cpp:143
     for it in range(cfg.get_int("nbIt", 10)):
         model, y = jfa_v_iteration(stats, model, x, z)
+        if ortho:
+            model = orthonormalize_v(model)
+        stats = restore_accs(snapshot)
         if verbose:
             print(f"EigenVoice it {it}: |V|="
                   f"{float(jnp.abs(model.v).mean()):.6f}")

@@ -53,15 +53,21 @@ def _batched_norm(entries, kernel, prepad=None):
     for plen, idxs in by_len.items():
         for s0 in range(0, len(idxs), FILE_BATCH):
             grp = idxs[s0:s0 + FILE_BATCH]
+            # batch axis padded to the next power of two with zero-weight
+            # files: a ragged tail batch must not cost its own XLA compile
+            b_pad = 1 << max(len(grp) - 1, 0).bit_length()
+            d = entries[grp[0]][0].shape[1]
             if prepad is not None:
                 mats = [prepad(entries[i][0], entries[i][1], plen)
                         for i in grp]
-                xs = np.stack([m[0] for m in mats])
-                ws = np.stack([m[1] for m in mats])
+                rows = mats[0][0].shape[0]
+                xs = np.zeros((b_pad, rows, d), np.float32)
+                ws = np.zeros((b_pad, rows), np.float32)
+                for j, m in enumerate(mats):
+                    xs[j], ws[j] = m
             else:
-                d = entries[grp[0]][0].shape[1]
-                xs = np.zeros((len(grp), plen, d), np.float32)
-                ws = np.zeros((len(grp), plen), np.float32)
+                xs = np.zeros((b_pad, plen, d), np.float32)
+                ws = np.zeros((b_pad, plen), np.float32)
                 for j, i in enumerate(grp):
                     x, m = entries[i]
                     xs[j, :x.shape[0]] = x

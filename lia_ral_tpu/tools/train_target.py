@@ -34,9 +34,83 @@ def _load_fa_model(cfg: Config, world: GmmDiag):
                      tau=cfg.get_float("regulationFactor", 16.0))
 
 
+def train_target_jfa(cfg: Config) -> dict[str, GmmDiag]:
+    """TrainTargetJFA (TrainTarget.cpp:393-560, channelCompensation JFA):
+    joint per-speaker (y, x) over the stacked [V; U] subspace, residual z
+    with unit prior (estimateZ, AccumulateJFAStat.cpp:3450), client model
+    = m + V·y + D·z (channel factor dropped), optional Σ⁻¹-scaled
+    supervector and y/x/z side files.
+
+    TPU shape: ALL clients are enrolled in one batched joint estimate
+    (the reference loops speakers through storeAccs/substract/restore,
+    TrainTarget.cpp:521-541)."""
+    import numpy as np
+    from ..fa.jfa import JfaModel, enroll_targets_joint
+    from ..io.matrix import read_matrix_file, write_matrix_file
+    from .jfa_tools import accumulate_session_stats
+    verbose = setup_verbose(cfg)
+    world = GmmDiag.load(mixture_path(cfg.get_str("inputWorldFilename"), cfg))
+    k, d = world.means.shape
+
+    def sub(key: str, rows_default: int) -> jnp.ndarray:
+        from .total_variability import matrix_out_path
+        if not cfg.exists(key):
+            return jnp.zeros((rows_default, k, d), jnp.float32)
+        m = read_matrix_file(matrix_out_path(cfg.get_str(key), cfg))
+        return jnp.asarray(m.reshape(m.shape[0], k, d), jnp.float32)
+
+    model = JfaModel(
+        v=sub("eigenVoiceMatrix", 1), u=sub("eigenChannelMatrix", 1),
+        d=sub("DMatrix", 1)[0] if cfg.exists("DMatrix")
+        else jnp.zeros((k, d), jnp.float32),
+        ubm_means=jnp.asarray(world.means, jnp.float32),
+        ubm_inv_var=jnp.asarray(world.cov_inv, jnp.float32))
+
+    cfg2 = cfg.copy()
+    cfg2["ndxFilename"] = cfg.get_str("targetIdList")
+    stats, spk_names, _ = accumulate_session_stats(cfg2, world, verbose)
+    y, x_spk, z = enroll_targets_joint(stats, model, tau=1.0)
+    vy_dz = (jnp.einsum("sr,rkd->skd", y, model.v)
+             + model.d[None] * z)                             # (S,K,D)
+    out: dict[str, GmmDiag] = {}
+    sv_path = cfg.get_str("saveVectorFilesPath", "./")
+    sv_ext = cfg.get_str("vectorFilesExtension", ".vect")
+    for i, client in enumerate(spk_names):
+        cm = GmmDiag(weights=world.weights,
+                     means=world.means + vy_dz[i],
+                     cov_inv=world.cov_inv)
+        if cfg.get_bool("saveMixture", True):
+            cm.save(mixture_path(client, cfg, save=True),
+                    fmt=cfg.get_str("saveMixtureFileFormat", "RAW"),
+                    model_id=client)
+        if cfg.get_bool("saveSuperVector", True) and cfg.exists(
+                "saveVectorFilesPath"):
+            # only the supervector is Σ⁻¹-scaled (TrainTarget.cpp:575)
+            sv = np.asarray(vy_dz[i] * world.cov_inv, np.float64)
+            write_matrix_file(os.path.join(sv_path, client + sv_ext),
+                              sv.reshape(1, -1))
+        for flag, arr, ext_key, dflt in (
+                ("saveY", y[i], "yExtension", ".y"),
+                ("saveX", x_spk[i], "xExtension", ".x"),
+                ("saveZ", z[i].reshape(-1), "zExtension", ".z")):
+            if cfg.get_bool(flag, False):
+                write_matrix_file(
+                    os.path.join(sv_path,
+                                 client + cfg.get_str(ext_key, dflt)),
+                    np.asarray(arr, np.float64)[None, :])
+        out[client] = cm
+        if verbose:
+            print(f"JFA client [{client}] enrolled")
+    return out
+
+
 def main(cfg: Config) -> dict[str, GmmDiag]:
     verbose = setup_verbose(cfg)
     ndx_path = cfg.get_str("targetIdList")
+    # channelCompensation dispatch (TrainTargetMain.cpp:163-169):
+    # "JFA" → TrainTargetJFA, "LFA"/bool → feature-domain FA variant
+    if cfg.get_str("channelCompensation", "") == "JFA":
+        return train_target_jfa(cfg)
     world = GmmDiag.load(mixture_path(cfg.get_str("inputWorldFilename"), cfg))
     mcfg = MapCfg.from_config(cfg)
     seed = cfg.get_int("randomSeed", 0)
@@ -44,7 +118,9 @@ def main(cfg: Config) -> dict[str, GmmDiag]:
     # session channel factor on the client data and remove U·x from the
     # frames before MAP
     fa_model = None
-    if cfg.get_bool("channelCompensation", False):
+    cc = cfg.get_str("channelCompensation", "")
+    if cc == "LFA" or (cc not in ("", "JFA")
+                       and cfg.get_bool("channelCompensation", False)):
         fa_model = _load_fa_model(cfg, world)
     # optional NAP of the client supervector (TrainTarget.cpp:154-157) and
     # supervector output instead of a model file (outputAdaptParam,

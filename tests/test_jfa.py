@@ -182,3 +182,122 @@ def test_jfa_verify_em_llk_improves(rng):
     llk1 = jfa_verify_em_llk(x_frames, mask, stats, model, gmm.weights,
                              y, x, z, max_sessions=5)
     assert llk1 > llk0 + 0.5, (llk0, llk1)
+
+
+def test_orthonormalize_v_gram_schmidt(rng):
+    """QR-based orthonormalize_v == reference Gram-Schmidt semantics
+    (AccumulateJFAStat.cpp:4700): orthonormal rows, same leading span,
+    positive projection of each original row on its own image."""
+    from lia_ral_tpu.fa.jfa import orthonormalize_v
+    gmm = random_gmm(rng, 8, 5)
+    model = JfaModel.init(jax.random.key(4), 3, 2, gmm, scale=1.0)
+    om = orthonormalize_v(model)
+    v = np.asarray(om.v).reshape(3, -1)
+    np.testing.assert_allclose(v @ v.T, np.eye(3), atol=1e-5)
+    v0 = np.asarray(model.v).reshape(3, -1)
+    # Gram-Schmidt keeps row 1 direction exactly
+    np.testing.assert_allclose(v[0], v0[0] / np.linalg.norm(v0[0]),
+                               atol=1e-5)
+    # and every row keeps a positive component along its original self
+    assert (np.einsum("rk,rk->r", v, v0) > 0).all()
+
+
+def test_store_restore_and_npz_accs(rng, tmp_path):
+    from lia_ral_tpu.fa.jfa import (load_accs_npz, restore_accs,
+                                    save_accs_npz, store_accs)
+    gmm, stats, *_ = synth_jfa_data(rng, n_spk=3, sess_per_spk=2)
+    snap = store_accs(stats)
+    back = restore_accs(snap)
+    np.testing.assert_array_equal(np.asarray(back.spk.n),
+                                  np.asarray(stats.spk.n))
+    p = str(tmp_path / "accs.npz")
+    save_accs_npz(p, stats)
+    loaded = load_accs_npz(p)
+    np.testing.assert_allclose(np.asarray(loaded.sess.f),
+                               np.asarray(stats.sess.f), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(loaded.sess_spk),
+                                  np.asarray(stats.sess_spk))
+
+
+def test_joint_yx_enrollment_matches_separate(rng):
+    """Joint (y,x) over [V;U] (TrainTarget.cpp:529 estimateYX) agrees
+    with the separate y estimate when U ≈ 0, and discriminates speakers
+    when channels are live."""
+    from lia_ral_tpu.fa.jfa import enroll_targets_joint, estimate_yx_joint
+    gmm, stats, v_true, u_true, y_true, _ = synth_jfa_data(
+        rng, u_scale=0.0)
+    model, y_sep, x, z = jfa_train(jax.random.key(5), stats, gmm,
+                                   rank_v=2, rank_u=2, nb_it_v=6,
+                                   nb_it_u=0)
+    zed = jnp.zeros_like(stats.spk.f)
+    y_joint, x_joint, cov = estimate_yx_joint(stats, model, zed)
+    assert cov.shape == (y_joint.shape[0], 4, 4)
+    # U was random-init tiny, so joint y ≈ separate y
+    np.testing.assert_allclose(np.asarray(y_joint), np.asarray(y_sep),
+                               atol=0.05)
+    yj, xj, zj = enroll_targets_joint(stats, model, tau=1.0)
+    assert np.isfinite(np.asarray(zj)).all()
+    cc = np.linalg.svd(
+        np.linalg.qr(np.asarray(yj))[0].T @ np.linalg.qr(y_true)[0],
+        compute_uv=False)
+    assert cc.min() > 0.8, cc
+
+
+def test_train_target_jfa_tool(rng, tmp_path):
+    """channelCompensation JFA end-to-end through the TrainTarget CLI:
+    client model = m + V·y + D·z, supervector + y/x/z side files."""
+    from lia_ral_tpu.config import Config
+    from lia_ral_tpu.io.features import write_feature_file
+    from lia_ral_tpu.io.lists import write_xlist
+    from lia_ral_tpu.io.matrix import read_matrix_file, write_matrix_file
+    from lia_ral_tpu.tools import train_target
+
+    k, d, rv, ru = 8, 5, 2, 2
+    gmm = random_gmm(rng, k, d)
+    gmm.save(str(tmp_path / "wld.gmm"))
+    v = rng.standard_normal((rv, k * d)) * 0.8
+    u = rng.standard_normal((ru, k * d)) * 0.3
+    write_matrix_file(str(tmp_path / "EV.matx"), v)
+    write_matrix_file(str(tmp_path / "EC.matx"), u)
+    rows = []
+    for s in range(3):
+        y_s = rng.standard_normal(rv)
+        shift = np.einsum("r,rk->k", y_s, v).reshape(k, d)
+        for j in range(2):
+            comp = rng.integers(0, k, 400)
+            x = ((np.asarray(gmm.means) + shift)[comp]
+                 + rng.standard_normal((400, d)) * 0.5).astype(np.float32)
+            write_feature_file(str(tmp_path / f"s{s}_{j}.prm"), x,
+                               fmt="SPRO4")
+        rows.append([f"spk{s}", f"s{s}_0", f"s{s}_1"])
+    write_xlist(str(tmp_path / "targets.ndx"), rows)
+    cfg = Config({
+        "featureFilesPath": str(tmp_path) + "/",
+        "mixtureFilesPath": str(tmp_path) + "/",
+        "matrixFilesPath": str(tmp_path) + "/",
+        "saveVectorFilesPath": str(tmp_path) + "/",
+        "loadFeatureFileFormat": "SPRO4",
+        "loadFeatureFileExtension": ".prm",
+        "saveMixtureFileFormat": "RAW",
+        "saveMixtureFileExtension": ".gmm",
+        "loadMixtureFileExtension": ".gmm",
+        "addDefaultLabel": "true", "defaultLabel": "speech",
+        "labelSelectedFrames": "speech",
+        "targetIdList": str(tmp_path / "targets.ndx"),
+        "inputWorldFilename": "wld",
+        "channelCompensation": "JFA",
+        "eigenVoiceMatrix": "EV", "eigenChannelMatrix": "EC",
+        "saveY": "true", "saveX": "true", "saveZ": "true",
+    })
+    out = train_target.main(cfg)
+    assert set(out) == {"spk0", "spk1", "spk2"}
+    m0 = GmmDiag.load(str(tmp_path / "spk0.gmm"))
+    assert np.isfinite(np.asarray(m0.means)).all()
+    # enrolled model moved away from the world
+    assert float(np.abs(np.asarray(m0.means)
+                        - np.asarray(gmm.means)).mean()) > 1e-3
+    sv = read_matrix_file(str(tmp_path / "spk0.vect"))
+    assert sv.shape == (1, k * d)
+    assert read_matrix_file(str(tmp_path / "spk0.y")).shape == (1, rv)
+    assert read_matrix_file(str(tmp_path / "spk0.x")).shape == (1, ru)
+    assert read_matrix_file(str(tmp_path / "spk0.z")).shape == (1, k * d)
