@@ -106,12 +106,28 @@ def _speaker_layout(dev: DevSet):
     return one_hot, counts
 
 
-def plda_em_iteration(model: PldaModel, dev: DevSet) -> PldaModel:
-    """One EM iteration (reference em_iteration cpp:2329-2344 +
-    getExpectedValues + mStep)."""
-    x = dev.vectors - model.mean[None, :]
-    n, r = x.shape
+def plda_em_core(model: PldaModel, x_raw: jax.Array, spk_ids: jax.Array,
+                 n_speakers: int, w: jax.Array | None = None,
+                 reduce_fn=None) -> PldaModel:
+    """One EM iteration over a (possibly LOCAL SHARD of the) session set.
+
+    ``x_raw`` (N,R) session vectors, ``spk_ids`` (N,) speaker index,
+    ``w`` (N,) 1/0 session weights (0 = padding row), ``reduce_fn``
+    merges cross-session sums across shards (identity when serial,
+    ``lax.psum`` inside shard_map — the TPU shape of the reference's
+    threaded getExpectedValues with mutex-guarded accumulators,
+    PldaTools.cpp:2647-2664).  The speaker-level solves are replicated:
+    they are (S,rf,rf) batched inverses, identical on every shard, so
+    sharded == serial exactly."""
+    if w is None:
+        w = jnp.ones(x_raw.shape[0], x_raw.dtype)
+    if reduce_fn is None:
+        def reduce_fn(v):
+            return v
+    x = (x_raw - model.mean[None, :]) * w[:, None]   # pad rows → 0
+    r = x.shape[1]
     rf, rg = model.rank_f, model.rank_g
+    n_tot = reduce_fn(jnp.sum(w))
     inv_sigma = jnp.linalg.inv(model.sigma)
     ftw = model.f.T @ inv_sigma                     # (rf, R)
     gtw = model.g.T @ inv_sigma                     # (rg, R)
@@ -121,67 +137,76 @@ def plda_em_iteration(model: PldaModel, dev: DevSet) -> PldaModel:
     s = q @ ftwg.T if rg else jnp.zeros((0, rf))    # (rg, rf)
     a = ftwf - (ftwg @ q @ ftwg.T if rg else 0.0)   # (rf, rf)
 
-    one_hot, counts = _speaker_layout(dev)
+    one_hot = jax.nn.one_hot(spk_ids, n_speakers, dtype=x.dtype) \
+        * w[:, None]                                # (N,S) pad rows zeroed
+    counts = reduce_fn(one_hot.sum(axis=0))         # (S,)
     fx = x @ ftw.T                                  # (N, rf) per-session f_i
-    gx = x @ gtw.T if rg else jnp.zeros((n, 0))     # (N, rg)
-    f_sum = one_hot.T @ fx                          # (S, rf)
-    g_sum = one_hot.T @ gx                          # (S, rg)
+    gx = x @ gtw.T if rg else jnp.zeros((x.shape[0], 0))     # (N, rg)
+    f_sum = reduce_fn(one_hot.T @ fx)               # (S, rf)
+    g_sum = reduce_fn(one_hot.T @ gx)               # (S, rg)
 
     eye_f = jnp.eye(rf)
     l_mat = eye_f[None] + counts[:, None, None] * a[None]     # (S,rf,rf)
     m_cov = jnp.linalg.inv(l_mat)                              # (S,rf,rf)
     rhs = f_sum - (g_sum @ s if rg else 0.0)                   # (S,rf)
     eh = jnp.einsum("sij,sj->si", m_cov, rhs)                  # (S,rf)
-    eh_per = eh[dev.spk_ids]                                   # (N,rf)
+    eh_per = eh[spk_ids] * w[:, None]                          # (N,rf)
     if rg:
         eu = gx @ q.T - eh_per @ s.T                           # (N,rg)
     else:
-        eu = jnp.zeros((n, 0))
+        eu = jnp.zeros((x.shape[0], 0))
 
     # joint latent per session y_i = [h_spk; u_i]
     y = jnp.concatenate([eh_per, eu], axis=1)                  # (N, rf+rg)
     # second-moment accumulators: E[y yᵀ] = cov + E[y]E[y]ᵀ
-    m_per = m_cov[dev.spk_ids]                                 # (N,rf,rf)
-    ehh = jnp.einsum("ni,nj->ij", y, y)
-    # covariance blocks (reference tmpM, cpp:2460-2470)
-    cov_hh = jnp.sum(m_per, axis=0)                            # (rf,rf)
+    ehh = reduce_fn(jnp.einsum("ni,nj->ij", y, y))
+    # covariance blocks (reference tmpM, cpp:2460-2470) — per SESSION,
+    # expressed via per-speaker counts so no (N,rf,rf) gather is needed
+    cov_hh = jnp.einsum("s,sij->ij", counts, m_cov)            # (rf,rf)
     if rg:
-        msum_t = jnp.einsum("nij->ij", m_per) @ s.T            # (rf,rg)
+        msum_t = cov_hh @ s.T                                  # (rf,rg)
         cov_hu = -msum_t
-        cov_uu = n * q + s @ msum_t
+        cov_uu = n_tot * q + s @ msum_t
         cov = jnp.block([[cov_hh, cov_hu], [cov_hu.T, cov_uu]])
     else:
         cov = cov_hh
     ehh_sum = ehh + cov                                        # (rf+rg)²
-    xh_sum = x.T @ y                                           # (R, rf+rg)
+    xh_sum = reduce_fn(x.T @ y)                                # (R, rf+rg)
 
     # M-step: [F G] = xhSum · EhhSum⁻¹ (reference mStep cpp:2790-2815)
     fg = jnp.linalg.solve(ehh_sum.T, xh_sum.T).T               # (R, rf+rg)
     f_new = fg[:, :rf]
     g_new = fg[:, rf:]
-    sigma_obs = (x.T @ x) / n
-    sigma_new = sigma_obs - (fg @ xh_sum.T) / n
+    sigma_obs = reduce_fn(x.T @ x) / n_tot
+    sigma_new = sigma_obs - (fg @ xh_sum.T) / n_tot
     sigma_new = 0.5 * (sigma_new + sigma_new.T) \
         + 1e-6 * jnp.eye(r, dtype=x.dtype)
     # minimum divergence on h: whiten by the posterior second moment of h
-    s_count = dev.n_speakers
-    hh = (eh.T @ eh + jnp.sum(m_cov, axis=0)) / s_count
+    hh = (eh.T @ eh + jnp.sum(m_cov, axis=0)) / n_speakers
     chol = jnp.linalg.cholesky(hh + 1e-9 * jnp.eye(rf))
     f_new = f_new @ chol
     if rg:
-        uu = (eu.T @ eu + cov_uu) / n
+        uu = (reduce_fn(jnp.einsum("ni,nj->ij", eu, eu)) + cov_uu) / n_tot
         chol_u = jnp.linalg.cholesky(uu + 1e-9 * jnp.eye(rg))
         g_new = g_new @ chol_u
     # mean update (reference _Delta): fold the residual data mean back in
-    mean_new = model.mean + jnp.mean(x, axis=0)
+    mean_new = model.mean + reduce_fn(jnp.sum(x, axis=0)) / n_tot
     return model.replace(mean=mean_new, f=f_new, g=g_new, sigma=sigma_new)
+
+
+def plda_em_iteration(model: PldaModel, dev: DevSet) -> PldaModel:
+    """One EM iteration (reference em_iteration cpp:2329-2344 +
+    getExpectedValues + mStep)."""
+    return plda_em_core(model, dev.vectors, dev.spk_ids, dev.n_speakers)
 
 
 def plda_train(key: jax.Array, dev: DevSet, rank_f: int, rank_g: int = 0,
                n_iterations: int = 10, verbose: bool = False,
-               init: PldaModel | None = None) -> PldaModel:
+               init: PldaModel | None = None, mesh=None) -> PldaModel:
     """Full trainer (reference PLDA.cpp:74-99: center → EM loop → save).
-    ``init`` warm-starts EM from a loaded model (pldaLoadInitMatrices)."""
+    ``init`` warm-starts EM from a loaded model (pldaLoadInitMatrices);
+    ``mesh`` shards the session axis of each EM iteration over its
+    "data" axis (the threaded getExpectedValues, PldaTools.cpp:2647)."""
     x = dev.vectors
     mean = jnp.mean(x, axis=0)
     xc = x - mean[None, :]
@@ -189,7 +214,11 @@ def plda_train(key: jax.Array, dev: DevSet, rank_f: int, rank_g: int = 0,
     model = init if init is not None else PldaModel.init(
         key, x.shape[1], rank_f, rank_g, data_mean=mean, data_cov=cov)
     for it in range(n_iterations):
-        model = plda_em_iteration(model, dev)
+        if mesh is not None:
+            from ..parallel.sharding import sharded_plda_em_iteration
+            model = sharded_plda_em_iteration(mesh, model, dev)
+        else:
+            model = plda_em_iteration(model, dev)
         if verbose:
             print(f"PLDA EM it {it}: |F|={float(jnp.abs(model.f).mean()):.5f} "
                   f"tr(Sigma)={float(jnp.trace(model.sigma)):.4f}")

@@ -340,32 +340,54 @@ def _solve_subspace(acc: SubspaceAccums) -> jax.Array:
     return jnp.transpose(jnp.linalg.solve(acc.a, c_krd), (1, 0, 2))
 
 
-def jfa_v_iteration(stats: JfaStats, model: JfaModel, x: jax.Array,
-                    z: jax.Array) -> tuple[JfaModel, jax.Array]:
-    """One EigenVoice EM iteration (EigenVoice.cpp:71-163 loop body).
-    Returns (model with new V, y estimates)."""
+def v_residual(stats: JfaStats, model: JfaModel, x: jax.Array,
+               z: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Speaker-level (n, F̄) residual for the V substep: F̄ centered,
+    minus D·z and the per-speaker channel stats (substractMplusDZ +
+    substractUX, cpp:3795/4142)."""
     s = stats.spk.n.shape[0]
     fbar = _center(stats.spk, model)
     fbar = _subtract(fbar, stats.spk.n, model.d[None] * z)
     fbar = fbar - _speaker_ux_stats(stats, model, x, s)
-    gram = _subspace_gram(model.v, model.ubm_inv_var)
-    y, cov = _latent_posterior(model.v, model.ubm_inv_var, gram,
-                               stats.spk.n, fbar)
-    acc = _accumulate_subspace(stats.spk.n, fbar, y, cov)
-    return model.replace(v=_solve_subspace(acc)), y
+    return stats.spk.n, fbar
+
+
+def u_residual(stats: JfaStats, model: JfaModel, y: jax.Array,
+               z: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Session-level (n, F̄) residual for the U substep
+    (substractMplusVYplusDZ, cpp:4390)."""
+    spk_off = (jnp.einsum("sr,rkd->skd", y, model.v) + model.d[None] * z)
+    fbar = _center(stats.sess, model)
+    fbar = _subtract(fbar, stats.sess.n, spk_off[stats.sess_spk])
+    return stats.sess.n, fbar
+
+
+def subspace_em_step(t: jax.Array, inv_var: jax.Array, n: jax.Array,
+                     fbar: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Shared E+M over one subspace given per-entity residual stats:
+    posterior latents, A/C accumulators, per-component solve.  Returns
+    (new subspace, latent means)."""
+    gram = _subspace_gram(t, inv_var)
+    mean, cov = _latent_posterior(t, inv_var, gram, n, fbar)
+    acc = _accumulate_subspace(n, fbar, mean, cov)
+    return _solve_subspace(acc), mean
+
+
+def jfa_v_iteration(stats: JfaStats, model: JfaModel, x: jax.Array,
+                    z: jax.Array) -> tuple[JfaModel, jax.Array]:
+    """One EigenVoice EM iteration (EigenVoice.cpp:71-163 loop body).
+    Returns (model with new V, y estimates)."""
+    n, fbar = v_residual(stats, model, x, z)
+    v_new, y = subspace_em_step(model.v, model.ubm_inv_var, n, fbar)
+    return model.replace(v=v_new), y
 
 
 def jfa_u_iteration(stats: JfaStats, model: JfaModel, y: jax.Array,
                     z: jax.Array) -> tuple[JfaModel, jax.Array]:
     """One EigenChannel EM iteration (EigenChannel.cpp:70-200 loop body)."""
-    spk_off = (jnp.einsum("sr,rkd->skd", y, model.v) + model.d[None] * z)
-    fbar = _center(stats.sess, model)
-    fbar = _subtract(fbar, stats.sess.n, spk_off[stats.sess_spk])
-    gram = _subspace_gram(model.u, model.ubm_inv_var)
-    x, cov = _latent_posterior(model.u, model.ubm_inv_var, gram,
-                               stats.sess.n, fbar)
-    acc = _accumulate_subspace(stats.sess.n, fbar, x, cov)
-    return model.replace(u=_solve_subspace(acc)), x
+    n, fbar = u_residual(stats, model, y, z)
+    u_new, x = subspace_em_step(model.u, model.ubm_inv_var, n, fbar)
+    return model.replace(u=u_new), x
 
 
 def jfa_d_iteration(stats: JfaStats, model: JfaModel, y: jax.Array,

@@ -187,4 +187,146 @@ def sharded_tv_e_step(mesh: Mesh, stats, model, chunk: int = 64):
         w, acc = tv_e_step(BwStats(n=n_loc, f=f_loc), mdl, chunk=chunk)
         return w, jax.lax.psum(acc, axis_name="data")
 
-    return _estep(stats.n, stats.f, model)
+    # pad the speaker axis to the shard count; a zero-stat row has w=0 and
+    # contributes exactly I to r_mat (its posterior cov is the prior) and
+    # 1 to n_utts — corrected below so sharded == serial
+    n_data = mesh.shape["data"]
+    s_real = stats.n.shape[0]
+    (n_p, f_p), _ = _pad_leading([stats.n, stats.f], n_data)
+    pad = n_p.shape[0] - s_real
+    w, acc = _estep(n_p, f_p, model)
+    if pad:
+        acc = acc.replace(
+            r_mat=acc.r_mat - pad * jnp.eye(acc.r_mat.shape[0],
+                                            dtype=acc.r_mat.dtype),
+            n_utts=acc.n_utts - pad)
+    return w[:s_real], acc
+
+
+def _pad_leading(arrs, n_shards: int):
+    """Zero-pad the shared leading axis of a list of arrays to a multiple
+    of n_shards.  Zero rows carry zero stats/weights, so every consumer
+    below is exact under padding."""
+    n = arrs[0].shape[0]
+    pad = (-n) % n_shards
+    if not pad:
+        return arrs, n
+    out = [jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in arrs]
+    return out, n
+
+
+def sharded_subspace_accums(mesh: Mesh, t: jax.Array, inv_var: jax.Array,
+                            n: jax.Array, fbar: jax.Array):
+    """JFA/TV subspace A/C accumulation with the entity (speaker or
+    session) axis sharded over mesh axis "data".
+
+    The analogue of the reference's threaded estimateVEVT/estimateYandV
+    (AccumulateJFAStat.cpp:1255/2457: per-thread speaker ranges merged
+    into shared _vEvT/_Aev under joins); here each device accumulates
+    its shard's SubspaceAccums and the pytree is psum-merged over ICI.
+    Zero-stat padding rows contribute exactly nothing (A sums n·(cov+mmᵀ),
+    C sums mean⊗F̄ with mean=0 for zero stats).
+    """
+    from ..fa.jfa import _accumulate_subspace, _latent_posterior, \
+        _subspace_gram
+
+    n_data = mesh.shape["data"]
+    (n, fbar), _ = _pad_leading([n, fbar], n_data)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P("data")),
+        out_specs=(P("data"), P()),
+    )
+    def _acc(t_, iv_, gram_, n_loc, fbar_loc):
+        mean, cov = _latent_posterior(t_, iv_, gram_, n_loc, fbar_loc)
+        acc = _accumulate_subspace(n_loc, fbar_loc, mean, cov)
+        return mean, jax.lax.psum(acc, axis_name="data")
+
+    gram = _subspace_gram(t, inv_var)
+    return _acc(t, inv_var, gram, n, fbar)
+
+
+def sharded_jfa_v_iteration(mesh: Mesh, stats, model, x: jax.Array,
+                            z: jax.Array):
+    """EigenVoice EM iteration with speakers sharded over "data" —
+    sharded == serial (tested).  Residual construction (session→speaker
+    channel-stat aggregation) stays a global einsum; the per-speaker
+    L-solves and A/C accumulation shard."""
+    from ..fa.jfa import _solve_subspace, v_residual
+
+    n, fbar = v_residual(stats, model, x, z)
+    s = n.shape[0]
+    y, acc = sharded_subspace_accums(mesh, model.v, model.ubm_inv_var,
+                                     n, fbar)
+    return model.replace(v=_solve_subspace(acc)), y[:s]
+
+
+def sharded_jfa_u_iteration(mesh: Mesh, stats, model, y: jax.Array,
+                            z: jax.Array):
+    """EigenChannel EM iteration with sessions sharded over "data"."""
+    from ..fa.jfa import _solve_subspace, u_residual
+
+    n, fbar = u_residual(stats, model, y, z)
+    h = n.shape[0]
+    x, acc = sharded_subspace_accums(mesh, model.u, model.ubm_inv_var,
+                                     n, fbar)
+    return model.replace(u=_solve_subspace(acc)), x[:h]
+
+
+def sharded_plda_em_iteration(mesh: Mesh, model, dev):
+    """PLDA EM iteration with the SESSION axis sharded over "data".
+
+    The analogue of the reference's threaded getExpectedValues
+    (PldaTools.cpp:2647: per-thread speaker ranges, mutex-guarded _EhT /
+    _xhT accumulators): session-level matmuls shard, cross-session sums
+    psum over ICI, and the (S,rf,rf) speaker solves are replicated (they
+    are identical on every shard), so sharded == serial exactly.
+    """
+    from ..backend.plda import plda_em_core
+
+    n_data = mesh.shape["data"]
+    w = jnp.ones(dev.vectors.shape[0], jnp.float32)
+    ids = jnp.asarray(dev.spk_ids, jnp.int32)
+    (xv, w, ids), _ = _pad_leading([jnp.asarray(dev.vectors), w, ids],
+                                   n_data)
+    n_speakers = int(dev.n_speakers)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data")),
+        out_specs=P(),
+    )
+    def _iter(mdl, x_loc, ids_loc, w_loc):
+        return plda_em_core(
+            mdl, x_loc, ids_loc, n_speakers, w=w_loc,
+            reduce_fn=lambda v: jax.lax.psum(v, axis_name="data"))
+
+    return _iter(model, xv, ids, w)
+
+
+def sharded_plda_llr(mesh: Mesh, model, enroll: jax.Array,
+                     n_sessions: jax.Array, test: jax.Array) -> jax.Array:
+    """Batched PLDA trial scoring with the MODEL axis sharded over
+    "data" (the analogue of the reference's threaded scoring loop,
+    PldaTools.cpp:4061).  Each device scores its model shard against the
+    full (replicated) test set; the (M, T) score matrix comes back
+    model-sharded and is gathered by the caller's device_get."""
+    from ..backend.plda import plda_llr
+
+    n_data = mesh.shape["data"]
+    m = enroll.shape[0]
+    (enroll_p, ns_p), _ = _pad_leading(
+        [enroll, jnp.maximum(jnp.asarray(n_sessions, jnp.float32), 1.0)],
+        n_data)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P()),
+        out_specs=P("data"),
+    )
+    def _score(mdl, e_loc, ns_loc, t_):
+        return plda_llr(mdl, e_loc, ns_loc, t_)
+
+    return _score(model, enroll_p, ns_p, test)[:m]

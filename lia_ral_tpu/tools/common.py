@@ -129,6 +129,26 @@ def setup_verbose(cfg: Config) -> bool:
     return cfg.get_bool("verbose", False)
 
 
+def resolve_mesh(cfg: Config):
+    """numThread → a ("data",) device mesh, or None for single-device.
+
+    The reference's pthread-pool size knob (numThread,
+    AccumulateTVStat.cpp:1694, PldaTools.cpp:2647) maps to data-parallel
+    sharding over min(numThread, visible devices) — used by the TV/JFA/
+    PLDA stages the same way resolve_stats_fn feeds EM."""
+    n_thread = cfg.get_int("numThread", 1)
+    if n_thread <= 1:
+        return None
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    n = min(n_thread, len(jax.devices()))
+    if n <= 1:
+        return None
+    return make_mesh(n_data=n, devices=jax.devices()[:n])
+
+
 def resolve_stats_fn(cfg: Config):
     """Honour the reference's ``numThread`` knob (AccumulateStat.cpp:236):
     the pthread pool maps to data-parallel sharding — shard the frame axis

@@ -182,10 +182,12 @@ def main(cfg: Config) -> list[ScoreLine]:
             plda = PldaModel.load(cfg.get_str("pldaModelFilename"))
         else:
             assert dev is not None, "plda needs a model or a dev set"
+            from .common import resolve_mesh
             plda = plda_train(jax.random.key(cfg.get_int("randomSeed", 0)),
                               dev, cfg.get_int("pldaEigenVoiceNumber", 150),
                               cfg.get_int("pldaEigenChannelNumber", 0),
-                              cfg.get_int("pldaNbIt", 10), verbose)
+                              cfg.get_int("pldaNbIt", 10), verbose,
+                              mesh=resolve_mesh(cfg))
         ns = (jnp.asarray(n_sessions, jnp.float32) if mode == "plda"
               else jnp.ones((len(model_names),), jnp.float32))
         scores = plda_llr(plda, enroll, ns, segs)

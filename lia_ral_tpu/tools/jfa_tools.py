@@ -110,10 +110,16 @@ def eigen_voice_main(cfg: Config) -> JfaModel:
     # mutations (storeAccs/restoreAccs, EigenVoice.cpp:117/150); with
     # immutable stats the pairing is an explicit no-op kept for flow parity
     from ..fa.jfa import orthonormalize_v, restore_accs, store_accs
+    from .common import resolve_mesh
     snapshot = store_accs(stats)
     ortho = cfg.get_bool("orthonormalizeV", False)   # EigenVoice.cpp:143
+    mesh = resolve_mesh(cfg)    # numThread → speaker-sharded V substep
     for it in range(cfg.get_int("nbIt", 10)):
-        model, y = jfa_v_iteration(stats, model, x, z)
+        if mesh is not None:
+            from ..parallel.sharding import sharded_jfa_v_iteration
+            model, y = sharded_jfa_v_iteration(mesh, stats, model, x, z)
+        else:
+            model, y = jfa_v_iteration(stats, model, x, z)
         if ortho:
             model = orthonormalize_v(model)
         stats = restore_accs(snapshot)
@@ -142,9 +148,15 @@ def eigen_channel_main(cfg: Config) -> JfaModel:
     z = jnp.zeros((s, k, d), jnp.float32)
     x = jnp.zeros((stats.sess.n.shape[0], rank_u), jnp.float32)
     # reference EigenChannel: estimate Y once with V fixed, then iterate U
+    from .common import resolve_mesh
+    mesh = resolve_mesh(cfg)    # numThread → session-sharded U substep
     for it in range(cfg.get_int("nbIt", 10)):
         y, _ = estimate_y(stats, model, x, z)
-        model, x = jfa_u_iteration(stats, model, y, z)
+        if mesh is not None:
+            from ..parallel.sharding import sharded_jfa_u_iteration
+            model, x = sharded_jfa_u_iteration(mesh, stats, model, y, z)
+        else:
+            model, x = jfa_u_iteration(stats, model, y, z)
         if verbose:
             print(f"EigenChannel it {it}: |U|="
                   f"{float(jnp.abs(model.u).mean()):.6f}")

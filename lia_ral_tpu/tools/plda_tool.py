@@ -14,7 +14,7 @@ from ..backend.ivnorm import DevSet, length_norm
 from ..backend.plda import plda_train
 from ..config import Config
 from ..io.lists import read_ndx
-from .common import setup_verbose
+from .common import resolve_mesh, setup_verbose
 from .iv_norm import load_vectors
 
 
@@ -48,7 +48,7 @@ def main(cfg: Config):
         rank_f=cfg.get_int("pldaEigenVoiceNumber", 150),
         rank_g=cfg.get_int("pldaEigenChannelNumber", 0),
         n_iterations=cfg.get_int("pldaNbIt", 10),
-        verbose=verbose, init=init)
+        verbose=verbose, init=init, mesh=resolve_mesh(cfg))
     model.save(cfg.get_str("pldaModelFilename", "plda_model.npz"))
     # reference-format matrix set (PldaModel::saveModel naming keys)
     model.save_reference(

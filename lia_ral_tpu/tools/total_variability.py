@@ -107,10 +107,23 @@ def main(cfg: Config) -> TvModel:
     if cfg.get_bool("saveInitMatrix", False):
         model.save(matrix_out_path(
             cfg.get_str("totalVariabilityMatrix") + "_init", cfg))
+    # numThread > 1 → shard the session axis of the E-step over the mesh
+    # (reference threaded estimateAandC, AccumulateTVStat.cpp:1694)
+    from .common import resolve_mesh
+    mesh = resolve_mesh(cfg)
     for it in range(nb_it):
-        model, w = tv_em_iteration(stats, model,
-                                   chunk=cfg.get_int("speakerChunk", 64),
-                                   min_div=min_div)
+        if mesh is not None:
+            from ..fa.tv import min_divergence, tv_m_step
+            from ..parallel.sharding import sharded_tv_e_step
+            w, acc = sharded_tv_e_step(
+                mesh, stats, model, chunk=cfg.get_int("speakerChunk", 64))
+            model = tv_m_step(model, acc)
+            if min_div:
+                model = min_divergence(model, acc)
+        else:
+            model, w = tv_em_iteration(stats, model,
+                                       chunk=cfg.get_int("speakerChunk", 64),
+                                       min_div=min_div)
         if verbose:
             print(f"TV EM it {it}: |T|={float(jnp.abs(model.t).mean()):.5f}")
         if cfg.exists("computeLLK") and not cfg.get_bool("loadAccs", False):

@@ -102,3 +102,125 @@ def test_sharded_tv_e_step_equals_serial(rng):
     for a, b in zip(jax.tree.leaves(acc_ser), jax.tree.leaves(acc_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_jfa_iterations_equal_serial(rng):
+    """Speaker/session-sharded JFA V/U EM == serial (the threaded
+    estimateVEVT/estimateYandV merge property, AccumulateJFAStat.cpp)."""
+    import jax
+    import jax.numpy as jnp
+    from tests.test_jfa import synth_jfa_data
+    from lia_ral_tpu.fa.jfa import jfa_u_iteration, jfa_v_iteration
+    from lia_ral_tpu.parallel import make_mesh
+    from lia_ral_tpu.parallel.sharding import (sharded_jfa_u_iteration,
+                                               sharded_jfa_v_iteration)
+    gmm, stats, *_ = synth_jfa_data(rng, n_spk=11, sess_per_spk=3)
+    from lia_ral_tpu.fa.jfa import JfaModel
+    model = JfaModel.init(jax.random.key(0), 2, 2, gmm, scale=0.1)
+    s = stats.spk.n.shape[0]
+    h = stats.sess.n.shape[0]
+    x = jnp.asarray(rng.standard_normal((h, 2)), jnp.float32) * 0.1
+    z = jnp.zeros_like(stats.spk.f)
+    y0 = jnp.asarray(rng.standard_normal((s, 2)), jnp.float32) * 0.1
+    mesh = make_mesh()
+    mv_ser, y_ser = jfa_v_iteration(stats, model, x, z)
+    mv_shd, y_shd = sharded_jfa_v_iteration(mesh, stats, model, x, z)
+    np.testing.assert_allclose(np.asarray(mv_shd.v), np.asarray(mv_ser.v),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_shd), np.asarray(y_ser),
+                               rtol=2e-4, atol=2e-5)
+    mu_ser, x_ser = jfa_u_iteration(stats, model, y0, z)
+    mu_shd, x_shd = sharded_jfa_u_iteration(mesh, stats, model, y0, z)
+    np.testing.assert_allclose(np.asarray(mu_shd.u), np.asarray(mu_ser.u),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(x_shd), np.asarray(x_ser),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_plda_em_and_scoring_equal_serial(rng):
+    """Session-sharded PLDA EM and model-sharded scoring == serial (the
+    threaded getExpectedValues / scoring merge, PldaTools.cpp:2647/4061)."""
+    import jax
+    import jax.numpy as jnp
+    from lia_ral_tpu.backend.ivnorm import DevSet
+    from lia_ral_tpu.backend.plda import (PldaModel, plda_em_iteration,
+                                          plda_llr, plda_train)
+    from lia_ral_tpu.parallel import make_mesh
+    from lia_ral_tpu.parallel.sharding import (sharded_plda_em_iteration,
+                                               sharded_plda_llr)
+    r, rf, rg, n_spk, sess = 20, 6, 3, 13, 3
+    h = rng.standard_normal((n_spk, rf))
+    vecs, labels = [], []
+    f_true = rng.standard_normal((r, rf))
+    g_true = rng.standard_normal((r, rg)) * 0.5
+    for s_ in range(n_spk):
+        for _ in range(sess):
+            vecs.append(f_true @ h[s_] + g_true @ rng.standard_normal(rg)
+                        + rng.standard_normal(r) * 0.3)
+            labels.append(f"s{s_}")
+    dev = DevSet.from_labels(np.asarray(vecs, np.float32), labels)
+    model = PldaModel.init(jax.random.key(1), r, rf, rg,
+                           data_mean=np.mean(vecs, 0),
+                           data_cov=np.cov(np.asarray(vecs).T))
+    mesh = make_mesh()
+    ser = plda_em_iteration(model, dev)
+    shd = sharded_plda_em_iteration(mesh, model, dev)
+    for a, b in zip(jax.tree.leaves(shd), jax.tree.leaves(ser)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+    # scoring: 7 models (pads to 8) x 9 tests
+    plda = plda_train(jax.random.key(2), dev, rf, rg, n_iterations=4)
+    enroll = jnp.asarray(rng.standard_normal((7, r)), jnp.float32)
+    ns = jnp.asarray(rng.integers(1, 4, 7), jnp.float32)
+    test = jnp.asarray(rng.standard_normal((9, r)), jnp.float32)
+    s_ser = np.asarray(plda_llr(plda, enroll, ns, test))
+    s_shd = np.asarray(sharded_plda_llr(mesh, plda, enroll, ns, test))
+    np.testing.assert_allclose(s_shd, s_ser, rtol=2e-4, atol=2e-4)
+
+
+def test_tools_numthread_sharded_equal_serial(rng, tmp_path):
+    """numThread reaches TV (and PLDA) through the tools: an 8-way mesh
+    run produces the same T matrix as single-device (SURVEY §2.6)."""
+    import jax.numpy as jnp
+    from lia_ral_tpu.config import Config
+    from lia_ral_tpu.gmm import GmmDiag
+    from lia_ral_tpu.io.features import write_feature_file
+    from lia_ral_tpu.io.lists import write_xlist
+    from lia_ral_tpu.io.matrix import read_matrix_file
+    from lia_ral_tpu.tools import total_variability
+
+    k, d = 8, 5
+    w = rng.random(k) + 0.5
+    w /= w.sum()
+    gmm = GmmDiag.create(w, rng.standard_normal((k, d)) * 2,
+                         rng.random((k, d)) * 0.5 + 0.8)
+    gmm.save(str(tmp_path / "wld.gmm"))
+    rows = []
+    for s_ in range(10):
+        nm = f"sess{s_}"
+        comp = rng.integers(0, k, 300)
+        x = (np.asarray(gmm.means)[comp]
+             + rng.standard_normal((300, d)) * 0.6).astype(np.float32)
+        write_feature_file(str(tmp_path / (nm + ".prm")), x, fmt="SPRO4")
+        rows.append([nm])
+    write_xlist(str(tmp_path / "tv.ndx"), rows)
+    base = {
+        "featureFilesPath": str(tmp_path) + "/",
+        "mixtureFilesPath": str(tmp_path) + "/",
+        "matrixFilesPath": str(tmp_path) + "/",
+        "loadFeatureFileFormat": "SPRO4",
+        "loadFeatureFileExtension": ".prm",
+        "loadMixtureFileExtension": ".gmm",
+        "addDefaultLabel": "true", "defaultLabel": "speech",
+        "labelSelectedFrames": "speech",
+        "ndxFilename": str(tmp_path / "tv.ndx"),
+        "inputWorldFilename": "wld",
+        "totalVariabilityNumber": 4, "nbIt": 3, "initScale": 0.5,
+    }
+    c1 = Config(dict(base, totalVariabilityMatrix="TV1"))
+    total_variability.main(c1)
+    c8 = Config(dict(base, totalVariabilityMatrix="TV8", numThread=8))
+    total_variability.main(c8)
+    t1 = read_matrix_file(str(tmp_path / "TV1.matx"))
+    t8 = read_matrix_file(str(tmp_path / "TV8.matx"))
+    np.testing.assert_allclose(t8, t1, rtol=2e-3, atol=2e-4)
