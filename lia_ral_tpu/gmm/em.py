@@ -252,16 +252,28 @@ def mixture_init(
     _, gcov = global_mean_cov(x, w)
     p = max(bagged_probability_init / n_components, 1e-6)
     keys = jax.random.split(key, n_components)
+    gmean = jnp.sum(x * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
 
-    def comp_mean(k):
-        m = bagged_frame_mask(k, w, p, min_len, max_len)
-        cnt = jnp.sum(m)
-        mean = jnp.sum(x * m[:, None], axis=0) / jnp.maximum(cnt, 1.0)
+    # component means as chunked (C,N)@(N,D) mask-matmuls: a full vmap
+    # over K materialises K×N masks at once (4 GB at K=2048/N=500k and a
+    # compile the device helper cannot hold); 128-component chunks bound
+    # the live mask block at ~256 MB and put the reduction on the MXU
+    chunk = min(128, n_components)
+    pad = (-n_components) % chunk
+    keys_p = jnp.concatenate([keys, keys[:pad]]) if pad else keys
+
+    def chunk_means(kc):
+        masks = jax.vmap(
+            lambda kk: bagged_frame_mask(kk, w, p, min_len, max_len))(kc)
+        cnt = jnp.sum(masks, axis=-1)                          # (C,)
+        mean = jnp.dot(masks, x, preferred_element_type=jnp.float32) \
+            / jnp.maximum(cnt, 1.0)[:, None]
         # empty selection → fall back to global weighted mean
-        gmean = jnp.sum(x * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
-        return jnp.where(cnt > 0, mean, gmean)
+        return jnp.where(cnt[:, None] > 0, mean, gmean[None, :])
 
-    means = jax.vmap(comp_mean)(keys)
+    means = jax.lax.map(chunk_means,
+                        keys_p.reshape(-1, chunk)).reshape(-1, x.shape[1])
+    means = means[:n_components]
     k = n_components
     return GmmDiag(
         weights=jnp.full((k,), 1.0 / k, x.dtype),
