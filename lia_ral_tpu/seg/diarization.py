@@ -73,18 +73,55 @@ def seg_adaptation(key, x: jax.Array, hmm: DiarHmm, path: np.ndarray,
                    ), keep
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def glr_distance_curve(x: jax.Array, window: int) -> jax.Array:
+    """GLR between the two ``window``-frame windows around every frame,
+    as one device call (reference TurnDetection.cpp:54-78 runs the
+    two-window scatter per frame from the host — a classic prefix-sum):
+
+        d[t] = 2w·log|Σ_merged| − w·(log|Σ_left| + log|Σ_right|)
+
+    with diagonal covariances from cumulative Σx / Σx² (globally centered
+    first so the f32 cumsums keep precision over long signals).
+    Returns (N,) with zeros outside [window, N − window)."""
+    n, d = x.shape
+    x = x - jnp.mean(x, axis=0)[None, :]
+    zero = jnp.zeros((1, d), x.dtype)
+    c1 = jnp.concatenate([zero, jnp.cumsum(x, axis=0)])
+    c2 = jnp.concatenate([zero, jnp.cumsum(x * x, axis=0)])
+
+    def win_logdet(lo, hi):
+        cnt = (hi - lo).astype(x.dtype)[:, None]
+        mean = (c1[hi] - c1[lo]) / cnt
+        var = (c2[hi] - c2[lo]) / cnt - mean * mean
+        return jnp.sum(jnp.log(jnp.maximum(var, 1e-8)), axis=1)
+
+    t = jnp.arange(n)
+    t_lo = jnp.clip(t - window, 0, n)
+    t_hi = jnp.clip(t + window, 0, n)
+    ld_l = win_logdet(t_lo, t)
+    ld_r = win_logdet(t, t_hi)
+    ld_m = win_logdet(t_lo, t_hi)
+    dist = (2 * window) * ld_m - window * (ld_l + ld_r)
+    valid = (t >= window) & (t < n - window)
+    return jnp.where(valid, dist, 0.0)
+
+
 def turn_detection(x: np.ndarray, window: int = 50, alpha: float = 0.6,
                    min_gap: int = 25) -> np.ndarray:
     """Speaker-turn candidates: GLR distance between the two windows
     around each frame, peaks above mean+α·σ, local-maximum pick with a
     minimum gap (reference TurnDetection.cpp:54-101).
-    Returns frame indices of detected turns."""
+    Returns frame indices of detected turns.
+
+    The distance curve is one jitted prefix-sum pass on device
+    (glr_distance_curve) instead of N host-side covariance logdets; only
+    the tiny sequential peak-pick stays on the host."""
     n = x.shape[0]
     if n < 2 * window + 1:
         return np.zeros(0, np.int64)
-    dists = np.zeros(n)
-    for t in range(window, n - window):
-        dists[t] = glr_window_distance(x[t - window:t], x[t:t + window])
+    dists = np.asarray(glr_distance_curve(jnp.asarray(x, jnp.float32),
+                                          window), np.float64)
     thr = dists.mean() + alpha * dists.std()
     turns = []
     for t in range(window, n - window):

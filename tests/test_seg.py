@@ -297,3 +297,37 @@ def test_create_world_and_seg_adaptation(rng):
                jnp.asarray((path == 0).astype(np.float32)), world,
                nb_train_it=2)
     assert m.n_components == world.n_components
+
+
+def test_glr_distance_curve_matches_host_loop(rng):
+    """Device prefix-sum GLR curve == the per-frame host loop
+    (TurnDetection.cpp:54-78 math), and a 100k-frame curve runs fast."""
+    import time
+    import jax.numpy as jnp
+    from lia_ral_tpu.seg.clustering import glr_window_distance
+    from lia_ral_tpu.seg.diarization import glr_distance_curve
+    x = rng.standard_normal((400, 6)).astype(np.float32)
+    x[200:] += 3.0
+    w = 30
+    curve = np.asarray(glr_distance_curve(jnp.asarray(x), w))
+    for t in [w, 100, 199, 201, 320, 400 - w - 1]:
+        ref = glr_window_distance(x[t - w:t], x[t:t + w])
+        np.testing.assert_allclose(curve[t], ref, rtol=2e-3, atol=2e-2)
+    assert curve[0] == 0.0 and curve[-1] == 0.0
+    # scale check: 100k frames in one device call, well under a second
+    big = rng.standard_normal((100_000, 13)).astype(np.float32)
+    c = glr_distance_curve(jnp.asarray(big), 50)
+    c.block_until_ready()
+    t0 = time.perf_counter()
+    c = glr_distance_curve(jnp.asarray(big), 50)
+    float(c[0])
+    assert time.perf_counter() - t0 < 1.0
+
+
+def test_turn_detection_finds_change_point(rng):
+    from lia_ral_tpu.seg.diarization import turn_detection
+    x = rng.standard_normal((600, 5)).astype(np.float32)
+    x[300:] += 4.0
+    turns = turn_detection(x, window=40, alpha=0.5, min_gap=20)
+    assert len(turns) >= 1
+    assert any(abs(int(t) - 300) <= 15 for t in turns), turns
