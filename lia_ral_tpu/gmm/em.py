@@ -125,6 +125,16 @@ def variance_control(gmm: GmmDiag, flooring: float, ceiling: float,
     return gmm.replace(cov_inv=1.0 / cov)
 
 
+@jax.jit
+def _m_step_with_variance_control(stats: EmStats, flooring, ceiling,
+                                  global_cov: jax.Array) -> GmmDiag:
+    """M-step + variance flooring as ONE jitted call with the scheduled
+    floor/ceil as traced scalars: the eager path recompiled its tiny ops
+    for every distinct float of the per-iteration schedule, which costs
+    seconds per EM iteration over a remote-compile tunnel."""
+    return variance_control(m_step(stats), flooring, ceiling, global_cov)
+
+
 def normalize_mixture(gmm: GmmDiag, data_mean: jax.Array,
                       data_cov: jax.Array, mean_only: bool = False) -> GmmDiag:
     """Map the model into a 0-mean/1-var feature space — reference
@@ -159,18 +169,22 @@ def bagged_frame_mask(
     if probability >= 1.0:
         return base_mask
     n = base_mask.shape[0]
-    avg_len = 0.5 * (min_len + max_len)
-    n_chunks = max(int(np.ceil(n / min_len)), 1)
-    k_len, k_keep = jax.random.split(key)
-    lens = jax.random.randint(k_len, (n_chunks,), min_len, max_len + 1)
+    # fixed average-length chunks with a random phase offset: same
+    # expected selection fraction and chunk-scale burstiness as the
+    # reference's random-length walk (whose C rand() draw is not
+    # bit-reproducible anyway), expressed as reshape/broadcast ops only.
+    # The previous cumsum+searchsorted formulation compiled a 167k-bound
+    # vmapped searchsorted at corpus scale that hung/faulted the device
+    # (r3: full-scale TrainWorld crash) — variable-length chunk walks
+    # are inherently scatter/gather-shaped and stay off the TPU.
+    chunk_len = max((min_len + max_len) // 2, 1)
+    n_chunks = -(-n // chunk_len) + 1
+    k_off, k_keep = jax.random.split(key)
     keep = jax.random.bernoulli(k_keep, probability, (n_chunks,))
-    # chunk id of every frame = searchsorted over cumulative lengths
-    bounds = jnp.cumsum(lens)
-    frame_idx = jnp.arange(n)
-    chunk_of = jnp.searchsorted(bounds, frame_idx, side="right")
-    chunk_of = jnp.minimum(chunk_of, n_chunks - 1)
-    sel = keep[chunk_of]
-    del avg_len
+    sel = jnp.repeat(keep, chunk_len,
+                     total_repeat_length=n_chunks * chunk_len)
+    off = jax.random.randint(k_off, (), 0, chunk_len)
+    sel = jax.lax.dynamic_slice(sel, (off,), (n,))
     return base_mask * sel.astype(base_mask.dtype)
 
 
@@ -332,8 +346,7 @@ def train_model(
             print(f"it {it}: meanLLK={float(stats.mean_llk()):.5f} "
                   f"frames={float(stats.count):.0f} floor={floor:.3f} "
                   f"ceil={ceil:.3f}")
-        gmm = m_step(stats)
-        gmm = variance_control(gmm, floor, ceil, gcov)
+        gmm = _m_step_with_variance_control(stats, floor, ceil, gcov)
     if cfg.component_reduction and cfg.target_distrib_count > 0:
         gmm = reduce_model(gmm, cfg.target_distrib_count)
     return gmm
@@ -381,8 +394,7 @@ def train_model_streams(
             merged = merged.merge(jax.tree.map(lambda a: a * sw, st))
         if verbose:
             print(f"stream-it {it}: meanLLK={float(merged.mean_llk()):.5f}")
-        gmm = m_step(merged)
-        gmm = variance_control(gmm, floor, ceil, gcov)
+        gmm = _m_step_with_variance_control(merged, floor, ceil, gcov)
     if cfg.component_reduction and cfg.target_distrib_count > 0:
         gmm = reduce_model(gmm, cfg.target_distrib_count)
     return gmm
@@ -445,8 +457,7 @@ def train_model_streaming(
         if verbose:
             print(f"stream it {it}: meanLLK={float(merged.mean_llk()):.5f} "
                   f"frames={float(merged.count):.0f}")
-        gmm = m_step(merged)
-        gmm = variance_control(gmm, floor, ceil, gcov)
+        gmm = _m_step_with_variance_control(merged, floor, ceil, gcov)
     if cfg.component_reduction and cfg.target_distrib_count > 0:
         gmm = reduce_model(gmm, cfg.target_distrib_count)
     return gmm
