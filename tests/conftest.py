@@ -7,18 +7,23 @@ the real TPU chip is only used by bench.py.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# LIA_RAL_TPU_TEST_PLATFORM=axon runs the suite on the real chip (used
+# for the @slow at-shape tier, test_at_shape_slow.py); default is the
+# 8-virtual-device CPU mesh.
+_plat = os.environ.get("LIA_RAL_TPU_TEST_PLATFORM", "cpu")
+
+os.environ["JAX_PLATFORMS"] = _plat
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if _plat == "cpu" and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 # The image's sitecustomize registers the axon TPU PJRT plugin at
-# interpreter start and pins jax_platforms=axon; override it back to CPU
+# interpreter start and pins jax_platforms=axon; override it back
 # before any backend is instantiated.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", _plat)
 
 import numpy as np
 import pytest

@@ -1,0 +1,159 @@
+"""At-shape correctness tier (@pytest.mark.slow — excluded by default).
+
+VERDICT r2 weak #3: unit tests ran at K≈20-64 while milestone shapes
+lived only in timing scripts.  These assert CORRECTNESS at the
+BASELINE.md config-3/4 shapes (K=2048/R=400 TV, K=512 rv=300/ru=100
+JFA):
+
+    pytest -m slow tests/test_at_shape_slow.py            # CPU (slow)
+    LIA_RAL_TPU_TEST_PLATFORM=axon pytest -m slow ...     # on the chip
+
+The fused-vs-XLA agreement check needs the TPU (Pallas kernels do not
+lower on CPU) and skips elsewhere; bench.py re-checks it on-chip every
+round as well.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
+
+K, D, R = 2048, 39, 400
+
+
+def _synth_tv_world(rng, k=K, d=D):
+    from lia_ral_tpu.gmm.model import GmmDiag
+    w = rng.random(k) + 0.5
+    w /= w.sum()
+    return GmmDiag.create(w, rng.standard_normal((k, d)) * 1.5,
+                          rng.random((k, d)) * 0.5 + 0.8)
+
+
+def _session_frames(rng, gmm, shift, t):
+    k, d = gmm.means.shape
+    comp = rng.integers(0, k, t)
+    return ((np.asarray(gmm.means) + shift)[comp]
+            + rng.standard_normal((t, d)).astype(np.float32)
+            / np.sqrt(np.asarray(gmm.cov_inv))[comp]).astype(np.float32)
+
+
+def test_tv_em_llk_monotone_at_shape():
+    """TV EM total LLK rises over iterations at K=2048/R=400 (reference
+    verifyEMLK, AccumulateTVStat.cpp:1655; computeLLK flow
+    TotalVariability.cpp:171)."""
+    from lia_ral_tpu.fa.stats import BwStats, bw_stats_batch
+    from lia_ral_tpu.fa.tv import (TvModel, get_speaker_model, init_t,
+                                   estimate_w, tv_em_iteration)
+    from lia_ral_tpu.gmm.kernels import frame_llk
+    rng = np.random.default_rng(42)
+    gmm = _synth_tv_world(rng)
+    t_true = rng.standard_normal((R, K, D)).astype(np.float32) * 0.05
+    s, t_utt = 16, 600
+    xs = np.stack([_session_frames(
+        rng, gmm, np.einsum("r,rkd->kd", rng.standard_normal(R), t_true),
+        t_utt) for _ in range(s)])
+    feats = jnp.asarray(xs)
+    mask = jnp.ones(feats.shape[:2], jnp.float32)
+    stats = bw_stats_batch(feats, mask, gmm, use_fused=False)
+    stats = BwStats(n=stats.n, f=stats.f)
+    model = init_t(jax.random.key(0), R, gmm, scale=0.05)
+
+    def total_llk(model):
+        w_all = estimate_w(stats, model, chunk=16)
+        tot = 0.0
+        for i in range(4):      # LLK monitor over the first sessions
+            spk = get_speaker_model(model, w_all[i], gmm)
+            tot += float(jnp.mean(frame_llk(feats[i], spk)))
+        return tot
+
+    llks = [total_llk(model)]
+    for _ in range(3):
+        model, _ = tv_em_iteration(stats, model, chunk=16, min_div=True)
+        llks.append(total_llk(model))
+    assert all(b >= a - 1e-4 * abs(a) for a, b in zip(llks, llks[1:])), llks
+    assert llks[-1] > llks[0], llks
+
+
+def test_jfa_llk_monotone_at_shape():
+    """JFA V-substep LLK monitor rises at config-4 shape (K=512,
+    rv=300, ru=100) with orthonormalizeV on — reference JFAAcc::getLLK
+    (AccumulateJFAStat.cpp:4803) over EigenVoice.cpp:71-163 iterations."""
+    from lia_ral_tpu.fa.jfa import (JfaModel, JfaStats, jfa_v_iteration,
+                                    jfa_verify_em_llk, orthonormalize_v)
+    from lia_ral_tpu.fa.stats import bw_stats_batch
+    k, d, rv, ru = 512, 39, 300, 100
+    rng = np.random.default_rng(7)
+    gmm = _synth_tv_world(rng, k=k, d=d)
+    v_true = rng.standard_normal((rv, k, d)).astype(np.float32) * 0.08
+    n_spk, sess, t_utt = 24, 2, 400
+    xs, sess_spk = [], []
+    for s in range(n_spk):
+        shift = np.einsum("r,rkd->kd", rng.standard_normal(rv), v_true)
+        for _ in range(sess):
+            xs.append(_session_frames(rng, gmm, shift, t_utt))
+            sess_spk.append(s)
+    feats = jnp.asarray(np.stack(xs))
+    mask = jnp.ones(feats.shape[:2], jnp.float32)
+    st = bw_stats_batch(feats, mask, gmm, use_fused=False)
+    stats = JfaStats.from_sessions(st, np.asarray(sess_spk), n_spk)
+    model = JfaModel.init(jax.random.key(1), rv, ru, gmm, scale=0.01)
+    h = feats.shape[0]
+    x = jnp.zeros((h, ru), jnp.float32)
+    z = jnp.zeros((n_spk, k, d), jnp.float32)
+    y = jnp.zeros((n_spk, rv), jnp.float32)
+
+    def monitor(model, y):
+        return jfa_verify_em_llk(feats, mask, stats, model,
+                                 jnp.asarray(gmm.weights), y, x, z,
+                                 max_sessions=4)
+
+    # plain EM iterations carry the monotonicity guarantee; the optional
+    # orthonormalizeV is a conditioning projection OUTSIDE the EM bound
+    # (the reference applies it between iterations without re-verifying
+    # LLK, EigenVoice.cpp:142-150) and is span-checked separately below
+    llks = [monitor(model, y)]
+    for _ in range(3):
+        model, y = jfa_v_iteration(stats, model, x, z)
+        llks.append(monitor(model, y))
+    assert all(b >= a - 1e-4 * abs(a) for a, b in zip(llks, llks[1:])), llks
+    assert llks[-1] > llks[0], llks
+
+    om = orthonormalize_v(model)
+    vf = np.asarray(om.v).reshape(rv, -1)
+    np.testing.assert_allclose(vf @ vf.T, np.eye(rv), atol=1e-3)
+    # same leading span: projecting the trained V on the orthonormal
+    # basis reproduces it
+    v0 = np.asarray(model.v).reshape(rv, -1)
+    recon = (v0 @ vf.T) @ vf
+    np.testing.assert_allclose(recon, v0, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="Pallas kernels need the TPU backend")
+def test_fused_vs_xla_stats_at_shape():
+    """Fused Pallas EM/BW stats == XLA path at K=2048/D=39 (occupancy
+    rel-err ≤ 1e-3) — the bench.py on-chip check as a pinned test."""
+    from lia_ral_tpu.gmm.kernels import em_stats_chunked
+    from lia_ral_tpu.gmm.pallas_kernels import bw_stats_fused, em_stats_fused
+    rng = np.random.default_rng(3)
+    gmm = _synth_tv_world(rng)
+    n = 65536
+    x = jnp.asarray(rng.standard_normal((n, D)), jnp.float32)
+    w = jnp.ones((n,), jnp.float32)
+    st_f = em_stats_fused(x, w, gmm)
+    st_c = em_stats_chunked(x, w, gmm, chunk=8192)
+    n_c = np.asarray(st_c.n)
+    rel = np.max(np.abs(np.asarray(st_f.n) - n_c) / (n_c + 1e-9))
+    assert rel < 1e-3, rel
+    xu = x.reshape(16, 4096, D)
+    wu = w.reshape(16, 4096)
+    nf, ff, _ = bw_stats_fused(xu, wu, gmm)
+    from lia_ral_tpu.fa.stats import accumulate_bw_stats
+    n0, f0 = accumulate_bw_stats(xu[0], wu[0], gmm)
+    assert np.max(np.abs(np.asarray(nf[0]) - np.asarray(n0))
+                  / (np.asarray(n0) + 1e-9)) < 1e-3
