@@ -41,10 +41,86 @@ from .kernels import EmStats
 from .model import GmmDiag
 
 _LOG_2PI = math.log(2.0 * math.pi)
+_LOG2_E = 1.4426950408889634
+_LN_2 = 0.6931471805599453
 
 
-def _em_stats_kernel(k, prec, xa_ref, w_ref, b_ref, cst_ref, out_ref,
-                     acc_ref):
+def _fast_exp2(v):
+    """Bit-trick 2^v for softmax-shifted logits (v ≤ 0): integer part
+    into the float exponent field, degree-4 polynomial for the
+    fraction.  Max relative error ~1.2e-6 — far inside the 1e-3
+    occupancy budget.  Exists to probe the kernel's VPU exp ceiling
+    (PERF.md §1); whether it beats the hardware exp is measured, not
+    assumed (scripts/sweep_fused.py)."""
+    v = jnp.maximum(v, -120.0)
+    i = jnp.floor(v)
+    f = v - i
+    # degree-4 relative-error LSQ fit for 2^f on [0,1), max rel 5.3e-6
+    p = ((((0.0135115532 * f + 0.0519895369) * f + 0.2415088773) * f
+          + 0.6929742561) * f + 1.0000052588)
+    bits = (i.astype(jnp.int32) + 127) << 23
+    return p * jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _dotp(u, v):
+    return jnp.dot(u, v, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
+
+
+def _bf16_split(v):
+    hi = v.astype(jnp.bfloat16)
+    return hi, (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _stats_contract(p, xs, stats_pass):
+    """stats = pᵀ @ xs at the chosen MXU arithmetic.
+
+    x3      : both operands hi/lo split, 3 passes (f32-grade, default)
+    bf16    : both single-pass bf16 (fastest, ~2.6e-3 occupancy bias)
+    bf16x2p : p split, xs single bf16 — 2 passes, error from xs rounding
+    bf16x2x : p single bf16, xs split — 2 passes, error from p rounding
+    (errors measured on-chip in scripts/sweep_fused.py)"""
+    if stats_pass == "bf16":
+        return _dotp(p.T.astype(jnp.bfloat16), xs.astype(jnp.bfloat16))
+    if stats_pass == "bf16x2p":
+        ph, plo = _bf16_split(p)
+        xsb = xs.astype(jnp.bfloat16)
+        return _dotp(ph.T, xsb) + _dotp(plo.T, xsb)
+    if stats_pass == "bf16x2x":
+        xh, xl = _bf16_split(xs)
+        pb = p.T.astype(jnp.bfloat16)
+        return _dotp(pb, xh) + _dotp(pb, xl)
+    raise ValueError(stats_pass)
+
+
+def _softmax_block(ld, wb, exp_mode):
+    """max-shifted softmax over the component axis.  In the base-2 modes
+    the logits arrive pre-scaled by log2(e) (folded into B and cst by the
+    caller), so exp(ld−m) ≡ 2^(ld2−m2) and only the llk readout needs the
+    ln(2) factor back.
+
+    Returns UNNORMALISED exponentials p plus the per-row scale
+    s = wb/ssum — the caller folds s into the (BN, A) stat operand
+    instead of the (BN, K) posterior tile (A = 80 ≪ K = 2048), saving a
+    full VPU pass over the big tile (γ·s ≡ pᵀ @ diag(s), associativity
+    of the stat contraction)."""
+    m = jnp.max(ld, axis=-1, keepdims=True)
+    if exp_mode == "exp":
+        p = jnp.exp(ld - m)
+        m_nat = m
+    elif exp_mode == "exp2":
+        p = jnp.exp2(ld - m)
+        m_nat = m * _LN_2
+    else:                       # "fast2": software bit-trick exp2
+        p = _fast_exp2(ld - m)
+        m_nat = m * _LN_2
+    ssum = jnp.sum(p, axis=-1, keepdims=True)
+    llk = jnp.log(ssum) + m_nat                     # natural-log llk
+    return p, wb / ssum, llk
+
+
+def _em_stats_kernel(k, prec, exp_mode, stats_pass, xa_ref, w_ref, b_ref,
+                     cst_ref, out_ref, acc_ref):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -76,20 +152,42 @@ def _em_stats_kernel(k, prec, xa_ref, w_ref, b_ref, cst_ref, out_ref,
     # tolerate it); multi-pass f32 otherwise.  The constant row stays f32
     # so the log-weight/normaliser offsets never lose precision.
     if prec == "bf16x3":
-        ld = _dot3(xa, b_ref[:]) + cst_ref[:]             # (BN, K)
+        # cst rides the constant-1 column of the augmented design (the
+        # hi/lo split keeps its f32 precision), so no separate add pass
+        # touches the (BN, K) tile
+        ld = _dot3(xa, b_ref[:])                          # (BN, K)
     else:
         ld = jnp.dot(xa.astype(b_ref.dtype), b_ref[:],
                      preferred_element_type=jnp.float32,
                      precision=prec) + cst_ref[:]         # (BN, K)
-    m = jnp.max(ld, axis=-1, keepdims=True)
-    p = jnp.exp(ld - m)
-    ssum = jnp.sum(p, axis=-1, keepdims=True)
-    llk = jnp.log(ssum) + m                         # (BN, 1)
-    gw = p * (wb / ssum)                            # weighted posteriors
-    if prec == "bf16x3":
-        stats = _dot3(gw.T, xa)                             # (K, A)
+    p, s, llk = _softmax_block(ld, wb, exp_mode)
+    xs = xa * s                                     # (BN, A): row scale
+    if stats_pass in ("bf16", "bf16sr", "bf16x2p", "bf16x2x"):
+        # single-pass bf16 stat contraction: the LOGITS carry the
+        # parity-critical precision (f32-grade above); rounding the
+        # already-exact posteriors to bf16 drops two MXU passes and the
+        # hi/lo-split traffic of the p tile.  Deterministic rounding
+        # BIASES occupancies by ~2e-3 (measured); "bf16sr" rounds
+        # stochastically so the per-element error is zero-mean and
+        # averages out across the frame sum (hardware SR via the
+        # per-core PRNG, seeded per grid step for reproducibility).
+        if stats_pass == "bf16sr":
+            pltpu.prng_seed(step)
+            pt = pltpu.stochastic_round(
+                p, pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32),
+                target_dtype=jnp.bfloat16).T
+            xsb = pltpu.stochastic_round(
+                xs, pltpu.bitcast(pltpu.prng_random_bits(xs.shape),
+                                  jnp.uint32),
+                target_dtype=jnp.bfloat16)
+            stats = _dotp(pt, xsb)                          # (K, A)
+        else:
+            stats = _stats_contract(p, xs, stats_pass)          # (K, A)
+    elif prec == "bf16x3":
+        stats = _dot3(p.T, xs)                              # (K, A)
     else:
-        stats = jnp.dot(gw.T, xa,
+        stats = jnp.dot(p.T, xs,
                         preferred_element_type=jnp.float32,
                         precision=prec)                     # (K, A)
     acc_ref[0:k, :] += stats
@@ -106,23 +204,35 @@ def _em_stats_kernel(k, prec, xa_ref, w_ref, b_ref, cst_ref, out_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("block", "interpret", "compute_dtype",
-                                    "mxu_precision"))
+                                    "mxu_precision", "exp_mode",
+                                    "stats_pass"))
 def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
                    block: int | None = None, interpret: bool = False,
                    compute_dtype=None,
-                   mxu_precision: str = "bf16x3") -> EmStats:
+                   mxu_precision: str = "bf16x3",
+                   exp_mode: str = "exp2",
+                   stats_pass: str = "x3") -> EmStats:
     """Drop-in fused replacement for kernels.em_stats_chunked.
 
-    ``mxu_precision`` picks the matmul arithmetic (v5e measurements at
-    K=2048, D=39, 1M frames — scripts/sweep_fused.py):
+    ``mxu_precision``/``exp_mode``/``stats_pass`` pick the arithmetic
+    (v5e measurements at K=2048, D=39, 1M frames —
+    scripts/sweep_fused.py; r3 numbers with the cst fold):
 
-    =============  ==========  =======================================
-    mode           Mframe/s    max occupancy rel-err vs f64
-    =============  ==========  =======================================
-    bf16x3 (dflt)  27.1        3.2e-4 (the f32 accumulation floor)
-    highest (6x)   20.5        3.2e-4
-    bf16 1-pass    28.3        5.6e-2  (via compute_dtype=bf16)
-    =============  ==========  =======================================
+    ==========================  ==========  ===========================
+    mode                        Mframe/s    max occupancy rel-err vs f64
+    ==========================  ==========  ===========================
+    bf16x3+exp2+x3 (default)    32.4        4.7e-4 (f32-grade)
+    stats_pass="bf16"           40.5        2.6e-3 (fastStats knob)
+    bf16 1-pass density         ~41         5.6e-2 (compute_dtype=bf16)
+    ==========================  ==========  ===========================
+
+    The kernel is VMEM-traffic bound, not exp-bound: hardware exp ≡
+    exp2 in throughput, a software bit-trick exp2 measured SLOWER
+    (24.8), and stochastically-rounded bf16 stats measured noisier
+    (4.7e-3) than deterministic (2.6e-3).  The r3 gains come from
+    folding cst into the density matmul's constant-1 column (one fewer
+    (BN,K) VMEM pass, +13%%) and optionally dropping the stat
+    contraction to fewer bf16 passes.
 
     bf16x3 = manual hi/lo-split 3-pass (Mosaic lacks Precision.HIGH):
     f32-grade logits at ~96 % of single-pass speed — the kernel is
@@ -144,7 +254,9 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
         # f32/HIGHEST runs the density matmul in 3 MXU passes with extra
         # scratch: (1024, K=2048) tiles overflow the 16 MB scoped-VMEM
         # budget, so halve the block; bf16 keeps the 1024 sweet spot.
-        block = 1024 if compute_dtype == jnp.bfloat16 else 512
+        # 1024 is the sweet spot for every mode since the cst fold
+        # removed the extra VMEM add-pass (scripts/sweep_fused.py r3)
+        block = 1024
     pad = (-n) % block
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)])
@@ -158,6 +270,11 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
                          jnp.zeros((2, k), jnp.float32)], axis=0)  # (A, K)
     xa = jnp.concatenate([x * x, x, jnp.ones((total, 1), x.dtype),
                           jnp.zeros((total, 1), x.dtype)], axis=1)  # (N, A)
+    if exp_mode != "exp":
+        # base-2 softmax: fold log2(e) into the density matmul so the
+        # kernel computes logits directly in the exp2 domain
+        b = b * _LOG2_E
+        cst = cst * _LOG2_E
     if compute_dtype is not None:
         b = b.astype(compute_dtype)
     # f32 mode runs the matmuls at multi-pass precision: one bf16 pass
@@ -171,9 +288,15 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
         # manual 3-pass split (same arithmetic)
     else:
         prec = getattr(jax.lax.Precision, mxu_precision.upper())
+    if prec == "bf16x3":
+        # fold cst into the constant-1 column's row of B: the hi/lo split
+        # keeps its f32 precision and the kernel skips the separate
+        # (BN, K) add pass
+        b = b.at[2 * d].set(cst)
+        cst = jnp.zeros_like(cst)
     grid = total // block
     out = pl.pallas_call(
-        functools.partial(_em_stats_kernel, k, prec),
+        functools.partial(_em_stats_kernel, k, prec, exp_mode, stats_pass),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((block, a), lambda i: (i, 0),
@@ -203,8 +326,8 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
                    llk=out[k, 0], count=out[k, 1])
 
 
-def _bw_stats_kernel(k, prec, xa_ref, w_ref, b_ref, cst_ref, out_ref,
-                     acc_ref):
+def _bw_stats_kernel(k, prec, exp_mode, stats_pass, xa_ref, w_ref, b_ref,
+                     cst_ref, out_ref, acc_ref):
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
 
@@ -227,20 +350,31 @@ def _bw_stats_kernel(k, prec, xa_ref, w_ref, b_ref, cst_ref, out_ref,
         return f(uh, vh) + (f(uh, vl) + f(ul, vh))
 
     if prec == "bf16x3":
-        ld = _dot3(xa, b_ref[:]) + cst_ref[:]
+        ld = _dot3(xa, b_ref[:])        # cst folded into b's 1-column
     else:
         ld = jnp.dot(xa.astype(b_ref.dtype), b_ref[:],
                      preferred_element_type=jnp.float32,
                      precision=prec) + cst_ref[:]
-    m = jnp.max(ld, axis=-1, keepdims=True)
-    p = jnp.exp(ld - m)
-    ssum = jnp.sum(p, axis=-1, keepdims=True)
-    llk = jnp.log(ssum) + m
-    gw = p * (wb / ssum)
-    if prec == "bf16x3":
-        stats = _dot3(gw.T, xa)
+    p, s, llk = _softmax_block(ld, wb, exp_mode)
+    xs = xa * s                                     # (BT, A): row scale
+    if stats_pass in ("bf16", "bf16sr", "bf16x2p", "bf16x2x"):
+        if stats_pass == "bf16sr":       # see em_stats kernel: debiased SR
+            pltpu.prng_seed(t + pl.program_id(0) * n_t)
+            pt = pltpu.stochastic_round(
+                p, pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32),
+                target_dtype=jnp.bfloat16).T
+            xsb = pltpu.stochastic_round(
+                xs, pltpu.bitcast(pltpu.prng_random_bits(xs.shape),
+                                  jnp.uint32),
+                target_dtype=jnp.bfloat16)
+            stats = _dotp(pt, xsb)
+        else:
+            stats = _stats_contract(p, xs, stats_pass)
+    elif prec == "bf16x3":
+        stats = _dot3(p.T, xs)
     else:
-        stats = jnp.dot(gw.T, xa, preferred_element_type=jnp.float32,
+        stats = jnp.dot(p.T, xs, preferred_element_type=jnp.float32,
                         precision=prec)
     acc_ref[0:k, :] += stats
     a = xa.shape[1]
@@ -256,10 +390,13 @@ def _bw_stats_kernel(k, prec, xa_ref, w_ref, b_ref, cst_ref, out_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("block", "interpret", "compute_dtype",
-                                    "mxu_precision"))
+                                    "mxu_precision", "exp_mode",
+                                    "stats_pass"))
 def bw_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
                    block: int | None = None, interpret: bool = False,
-                   compute_dtype=None, mxu_precision: str = "bf16x3"):
+                   compute_dtype=None, mxu_precision: str = "bf16x3",
+                   exp_mode: str = "exp2",
+                   stats_pass: str = "x3"):
     """Per-utterance Baum-Welch (N, F) stats, fused in VMEM.
 
     x: (S, T, D) padded utterance batch; w: (S, T) frame weights.
@@ -274,7 +411,7 @@ def bw_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
     k = gmm.n_components
     a = 2 * d + 2
     if block is None:
-        block = 1024 if compute_dtype == jnp.bfloat16 else 512
+        block = 1024
     pad = (-t) % block
     if pad:
         x = jnp.concatenate(
@@ -289,6 +426,9 @@ def bw_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
                          jnp.zeros((2, k), jnp.float32)], axis=0)
     xa = jnp.concatenate([x * x, x, jnp.ones((s, t_pad, 1), x.dtype),
                           jnp.zeros((s, t_pad, 1), x.dtype)], axis=2)
+    if exp_mode != "exp":
+        b = b * _LOG2_E
+        cst = cst * _LOG2_E
     if compute_dtype is not None:
         b = b.astype(compute_dtype)
     if compute_dtype == jnp.bfloat16:
@@ -297,8 +437,11 @@ def bw_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
         prec = "bf16x3"
     else:
         prec = getattr(jax.lax.Precision, mxu_precision.upper())
+    if prec == "bf16x3":
+        b = b.at[2 * d].set(cst)    # see em_stats_fused: folded cst
+        cst = jnp.zeros_like(cst)
     out = pl.pallas_call(
-        functools.partial(_bw_stats_kernel, k, prec),
+        functools.partial(_bw_stats_kernel, k, prec, exp_mode, stats_pass),
         grid=(s, t_pad // block),
         in_specs=[
             pl.BlockSpec((1, block, a), lambda i, j: (i, j, 0),

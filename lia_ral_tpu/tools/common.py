@@ -157,9 +157,12 @@ def resolve_stats_fn(cfg: Config):
     or only one device is visible."""
     n_thread = cfg.get_int("numThread", 1)
     if n_thread <= 1:
-        if cfg.get_bool("fastMath", False):
+        if (cfg.get_bool("fastMath", False)
+                or cfg.get_bool("fastStats", False)):
             from ..gmm.em import default_stats_fn
-            return default_stats_fn(fast_math=True)
+            return default_stats_fn(
+                fast_math=cfg.get_bool("fastMath", False),
+                fast_stats=cfg.get_bool("fastStats", False))
         return None
     import jax
 

@@ -85,3 +85,18 @@ bench("fused f32-HIGH block512",
 bench("fused f32-HIGH block1024",
       lambda a, b: em_stats_fused(a, b, gmm, block=1024,
                                   mxu_precision="high"))
+
+# --- r3 modes: cst fold is always on; exp/stats arithmetic variants ---------
+bench("r3 default exp2/x3 block1024",
+      lambda a, b: em_stats_fused(a, b, gmm, block=1024))
+bench("r3 fastStats bf16 block1024",
+      lambda a, b: em_stats_fused(a, b, gmm, block=1024,
+                                  stats_pass="bf16"))
+bench("r3 exp (natural) x3 block1024",
+      lambda a, b: em_stats_fused(a, b, gmm, block=1024, exp_mode="exp"))
+bench("r3 fast2 software exp block1024",
+      lambda a, b: em_stats_fused(a, b, gmm, block=1024,
+                                  exp_mode="fast2"))
+bench("r3 bf16sr stats block1024",
+      lambda a, b: em_stats_fused(a, b, gmm, block=1024,
+                                  stats_pass="bf16sr"))
