@@ -127,7 +127,7 @@ def main() -> None:
 
     @jax.jit
     def extract(stats):
-        return estimate_w(stats, model, chunk=64)
+        return estimate_w(stats, model)
 
     wv = extract(stats)
     float(wv[0, 0])

@@ -113,24 +113,53 @@ def estimate_tett(model: TvModel) -> jax.Array:
                       preferred_element_type=jnp.float32)
 
 
-def _posterior(n_blk, fbar_blk, model: TvModel, tett: jax.Array):
+def _posterior(n_blk, fbar_blk, model: TvModel, tett: jax.Array,
+               tn_flat: jax.Array | None = None):
     """Per-utterance-block posteriors: L⁻¹ and w.
 
-    n_blk: (B, K); fbar_blk: (B, K, D) centered stats.
+    n_blk: (B, K); fbar_blk: (B, K, D) centered stats; ``tn_flat`` a
+    precomputed T·Σ⁻¹ in (R, K·D) layout (hoisted by the callers so it
+    is built once per call, not once per chunk).
     Returns (w (B,R), linv (B,R,R)).
+
+    Both contractions are flattened matmuls: the (B,K)@(K,R²) L build
+    streams the 1.3 GB tett exactly once per block (the einsum form
+    lowered poorly — stage C measured 95 ms for 500 utts at K=2048/
+    R=400; the matmul form + chunk=256 runs ~8x faster, PERF.md §2).
     """
     r = model.rank
+    b, k = n_blk.shape
     eye = jnp.eye(r, dtype=n_blk.dtype)
-    l_mat = eye[None] + jnp.einsum("bk,krq->brq", n_blk, tett,
-                                   preferred_element_type=jnp.float32)
-    # aux = T Σ⁻¹ F̄ per utterance (reference AUX)
-    aux = jnp.einsum("rkd,kd,bkd->br", model.t, model.ubm_inv_var, fbar_blk,
-                     preferred_element_type=jnp.float32)
+    l_mat = eye[None] + jnp.dot(
+        n_blk, tett.reshape(k, r * r),
+        preferred_element_type=jnp.float32).reshape(b, r, r)
+    if tn_flat is None:
+        tn_flat = (model.t * model.ubm_inv_var[None]).reshape(r, -1)
+    # aux = T Σ⁻¹ F̄ per utterance (reference AUX), as (B,KD)@(KD,R)
+    aux = jnp.dot(fbar_blk.reshape(b, -1), tn_flat.T,
+                  preferred_element_type=jnp.float32)
     chol = jnp.linalg.cholesky(l_mat)                      # (B,R,R)
     w = jax.scipy.linalg.cho_solve((chol, True), aux[..., None])[..., 0]
     linv = jax.scipy.linalg.cho_solve(
         (chol, True), jnp.broadcast_to(eye, l_mat.shape))
     return w, linv
+
+
+def _posterior_mean(n_blk, fbar_blk, model: TvModel, tett: jax.Array,
+                    tn_flat: jax.Array):
+    """w only — extraction doesn't need the posterior covariance, and
+    the L⁻¹ identity-solve is an extra B·R³ of triangular work per
+    block (half of stage C's wall, PERF.md §2)."""
+    r = model.rank
+    b, k = n_blk.shape
+    eye = jnp.eye(r, dtype=n_blk.dtype)
+    l_mat = eye[None] + jnp.dot(
+        n_blk, tett.reshape(k, r * r),
+        preferred_element_type=jnp.float32).reshape(b, r, r)
+    aux = jnp.dot(fbar_blk.reshape(b, -1), tn_flat.T,
+                  preferred_element_type=jnp.float32)
+    chol = jnp.linalg.cholesky(l_mat)
+    return jax.scipy.linalg.cho_solve((chol, True), aux[..., None])[..., 0]
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -154,9 +183,11 @@ def tv_e_step(stats: BwStats, model: TvModel, chunk: int = 64
     fb = f_p.reshape(-1, chunk, k, d)
     vb = valid.reshape(-1, chunk)
 
+    tn_flat = (model.t * model.ubm_inv_var[None]).reshape(r, -1)
+
     def body(acc: TvAccums, blk):
         n_blk, f_blk, v_blk = blk
-        w, linv = _posterior(n_blk, f_blk, model, tett)
+        w, linv = _posterior(n_blk, f_blk, model, tett, tn_flat)
         w = w * v_blk[:, None]          # zero padded utterances
         cov = linv + jnp.einsum("br,bq->brq", w, w)
         cov = cov * v_blk[:, None, None]
@@ -213,12 +244,16 @@ def tv_em_iteration(stats: BwStats, model: TvModel, chunk: int = 64,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def estimate_w(stats: BwStats, model: TvModel, chunk: int = 64) -> jax.Array:
+def estimate_w(stats: BwStats, model: TvModel, chunk: int = 256
+               ) -> jax.Array:
     """Exact i-vector extraction: w = L⁻¹ T Σ⁻¹ F̄ per utterance
-    (reference estimateW, cpp:2103-2267)."""
+    (reference estimateW, cpp:2103-2267).  ``chunk`` bounds the live
+    (B,R,R) solve block; 256 amortises the per-block tett stream
+    (PERF.md §2)."""
     s, k = stats.n.shape
     d = model.dim
     tett = estimate_tett(model)
+    tn_flat = (model.t * model.ubm_inv_var[None]).reshape(model.rank, -1)
     fbar = stats.centered(model.ubm_means)
     pad = (-s) % chunk
     n_p = jnp.concatenate([stats.n, jnp.zeros((pad, k), stats.n.dtype)])
@@ -226,8 +261,7 @@ def estimate_w(stats: BwStats, model: TvModel, chunk: int = 64) -> jax.Array:
 
     def block(blk):
         n_blk, f_blk = blk
-        w, _ = _posterior(n_blk, f_blk, model, tett)
-        return w
+        return _posterior_mean(n_blk, f_blk, model, tett, tn_flat)
 
     w = jax.lax.map(block, (n_p.reshape(-1, chunk, k),
                             f_p.reshape(-1, chunk, k, d)))
