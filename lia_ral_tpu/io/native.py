@@ -100,3 +100,57 @@ def apply_mask_native(data: np.ndarray, idx: list[int]) -> np.ndarray | None:
                    idx_arr.size,
                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def read_features_batch_native(paths: list[str], fmt: str,
+                               big_endian: bool = False, vect_size: int = 0,
+                               n_threads: int = 0
+                               ) -> "list[np.ndarray | None] | None":
+    """Parallel native batch read (liaio_read_batch's worker pool over an
+    atomic file index — the native data-loader face of the reference's
+    per-thread file-list split, AccumulateTVStat.cpp:478-551).
+
+    Returns per-file (frames, dim) float32 views in input order, None
+    entries for unreadable/mismatched files, or None overall to fall
+    back to the Python path.  All files must share the first readable
+    file's dim (the framework's batch contract)."""
+    lib = _load()
+    if lib is None or fmt.upper() not in _FMT_IDS or not paths:
+        return None
+    if not hasattr(lib, "liaio_read_batch"):
+        return None
+    lib.liaio_read_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int]
+    lib.liaio_read_batch.restype = ctypes.c_int
+    fid = _FMT_IDS[fmt.upper()]
+    frames = ctypes.c_int64()
+    dim_c = ctypes.c_int()
+    dim = 0
+    for p in paths:
+        if lib.liaio_probe(p.encode(), fid, int(big_endian), vect_size,
+                           ctypes.byref(frames), ctypes.byref(dim_c)) == 0:
+            dim = dim_c.value
+            break
+    if dim <= 0:
+        return None
+    sizes = []
+    for p in paths:
+        try:
+            sizes.append(os.path.getsize(p))
+        except OSError:
+            sizes.append(0)
+    t_pad = max(1, max(sizes) // (dim * 4) + 1)
+    arena = np.zeros((len(paths), t_pad, dim), np.float32)
+    lengths = np.full(len(paths), -1, np.int64)
+    c_paths = (ctypes.c_char_p * len(paths))(
+        *[p.encode() for p in paths])
+    lib.liaio_read_batch(
+        c_paths, len(paths), fid, int(big_endian), vect_size,
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        t_pad, dim, lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_threads)
+    return [arena[i, :int(lengths[i])] if lengths[i] >= 0 else None
+            for i in range(len(paths))]

@@ -65,6 +65,57 @@ def load_features_and_mask(
     return fs, mask
 
 
+def file_frame_mask(name: str, nframes: int, cfg: Config) -> np.ndarray:
+    """Frame-selection mask of ONE file from its label file (the per-file
+    slice of load_features_and_mask)."""
+    frame_length = cfg.get_float("frameLength", 0.01)
+    label = cfg.get_str("labelSelectedFrames", "speech")
+    add_default = cfg.get_bool("addDefaultLabel", False)
+    default_label = cfg.get_str("defaultLabel", label)
+    lp = label_path(name, cfg)
+    store = SegmentStore.from_label_file(
+        lp if os.path.isfile(lp) else None, nframes, frame_length,
+        add_default, default_label)
+    m = store.mask(label, nframes)
+    if not m.any() and add_default and label == default_label:
+        m[:] = True
+    return m.astype(np.float32)
+
+
+def load_files_batch(names: list[str], cfg: Config, batch: int = 64
+                     ) -> list[np.ndarray | None]:
+    """Per-file feature arrays for a name list, read in parallel by the
+    native batched loader (liaio_read_batch thread pool) with per-file
+    Python fallback — the framework's data-loader hot path for
+    thousands-of-files NIST runs.  Returns (T,D) float32 arrays in input
+    order (featureServerMask applied), None for unreadable files."""
+    from ..io.features import (apply_mask, feature_path, read_feature_file)
+    from ..io.native import read_features_batch_native
+    fmt = cfg.get_str("loadFeatureFileFormat", "SPRO4")
+    mask_cfg = (cfg.get_str("featureServerMask")
+                if cfg.exists("featureServerMask") else None)
+    big_endian = cfg.get_bool("bigEndian", False)
+    vect_size = cfg.get_int("loadFeatureFileVectSize", 0)
+    paths = [feature_path(n, cfg) for n in names]
+    out: list[np.ndarray | None] = [None] * len(names)
+    for s0 in range(0, len(paths), batch):
+        grp = paths[s0:s0 + batch]
+        res = read_features_batch_native(grp, fmt, big_endian, vect_size)
+        for j in range(len(grp)):
+            x = res[j] if res is not None else None
+            if x is None:
+                # per-file fallback keeps the SPRO3/SPRO4 header-sniffing
+                # and HTK paths of read_feature_file
+                try:
+                    x = read_feature_file(grp[j], fmt=fmt,
+                                          big_endian=big_endian,
+                                          vect_size=vect_size).data
+                except Exception:
+                    continue
+            out[s0 + j] = apply_mask(x, mask_cfg)
+    return out
+
+
 def feature_buffer_size(cfg: Config) -> int | None:
     """Parse ``featureServerBufferSize``: frame count, or None for
     ALL_FEATURES (the reference's bounded feature buffer,

@@ -34,25 +34,29 @@ from .total_variability import matrix_out_path
 def accumulate_session_stats(cfg: Config, gmm: GmmDiag, verbose=False
                              ) -> tuple[JfaStats, list[str], list[str]]:
     ndx = read_ndx(cfg.get_str("ndxFilename"))
-    spk_names, sess_names, sess_spk = [], [], []
-    entries = []
+    # one session per file; all files read in parallel by the native
+    # batched loader, label masks built per file afterwards
+    from .common import file_frame_mask, load_files_batch
+    spk_names, flat, flat_spk = [], [], []
     for spk, files in ndx:
         if spk not in spk_names:
             spk_names.append(spk)
         sid = spk_names.index(spk)
         for f in (files if files else [spk]):
-            try:
-                fs, mask = load_features_and_mask([f], cfg)
-            except Exception as e:
-                print(f"WARNING: cannot read session [{f}]: {e}"
-                      " — session skipped")
-                continue
-            entries.append((np.asarray(fs.data),
-                            np.asarray(mask, np.float32)))
-            sess_names.append(f)
-            sess_spk.append(sid)
-            if verbose:
-                print(f"stats [{spk}/{f}]: {int(mask.sum())} frames")
+            flat.append(f)
+            flat_spk.append(sid)
+    mats = load_files_batch(flat, cfg)
+    sess_names, sess_spk, entries = [], [], []
+    for f, sid, x in zip(flat, flat_spk, mats):
+        if x is None:
+            print(f"WARNING: cannot read session [{f}] — session skipped")
+            continue
+        mask = file_frame_mask(f, x.shape[0], cfg)
+        entries.append((x, mask))
+        sess_names.append(f)
+        sess_spk.append(sid)
+        if verbose:
+            print(f"stats [{spk_names[sid]}/{f}]: {int(mask.sum())} frames")
     from ..fa.stats import bw_stats_bucketed
     sess = bw_stats_bucketed(entries, gmm,
                              bucket=cfg.get_int("statsBucketFrames", 2048),

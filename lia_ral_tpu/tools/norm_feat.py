@@ -112,11 +112,18 @@ def main(cfg: Config) -> dict[str, np.ndarray]:
     var_only = cfg.get_bool("varOnly", False)
     out: dict[str, np.ndarray] = {}
 
-    # ---- load every file host-side first ---------------------------------
+    # ---- load every file host-side first (parallel native reader) -------
+    from .common import file_frame_mask, load_files_batch
+    mats = load_files_batch(names, cfg)
     entries: list[tuple[np.ndarray, np.ndarray]] = []
-    for name in names:
-        fs, mask = load_features_and_mask([name], cfg)
-        entries.append((np.asarray(fs.data, np.float32),
+    for name, x in zip(names, mats):
+        if x is None:
+            # surface the real error through the strict single-file path
+            fs, mask = load_features_and_mask([name], cfg)
+            x, mask = np.asarray(fs.data, np.float32), mask
+        else:
+            mask = file_frame_mask(name, x.shape[0], cfg)
+        entries.append((np.asarray(x, np.float32),
                         np.asarray(mask, np.float32)))
 
     # ---- batched fast paths (the overwhelmingly common modes) ------------

@@ -48,20 +48,31 @@ def accumulate_stats_from_ndx(cfg: Config, gmm: GmmDiag,
     # per-thread static file-list split (AccumulateTVStat.cpp:478-551).
     bucket = max(cfg.get_int("statsBucketFrames", 2048), 1)
     batch_size = max(cfg.get_int("statsBatchSize", 64), 1)
-    entries: list[tuple[str, np.ndarray, np.ndarray]] = []
+    # all feature files of the NDX read in parallel by the native batched
+    # loader (liaio_read_batch thread pool), then grouped per session
+    from .common import file_frame_mask, load_files_batch
+    flat: list[str] = []
+    spans: list[tuple[str, int, int]] = []
     for session, files in ndx:
         if not files:
             files = [session]
-        try:
-            fs, mask = load_features_and_mask(files, cfg)
-        except Exception as e:
+        spans.append((session, len(flat), len(flat) + len(files)))
+        flat.extend(files)
+    mats = load_files_batch(flat, cfg)
+    entries: list[tuple[str, np.ndarray, np.ndarray]] = []
+    for session, a, b in spans:
+        xs = mats[a:b]
+        if any(x is None for x in xs):
             # reference recovery model: warn, skip the session, rerun the
             # failed shard later (TrainTarget.cpp:141-150 pattern)
-            print(f"WARNING: cannot read session [{session}]: {e}"
+            print(f"WARNING: cannot read session [{session}]"
                   " — session skipped")
             continue
-        entries.append((session, np.asarray(fs.data),
-                        np.asarray(mask, np.float32)))
+        masks = [file_frame_mask(nm, x.shape[0], cfg)
+                 for nm, x in zip(flat[a:b], xs)]
+        x = xs[0] if len(xs) == 1 else np.concatenate(xs)
+        mask = masks[0] if len(masks) == 1 else np.concatenate(masks)
+        entries.append((session, x, mask))
         if verbose:
             print(f"stats [{session}]: {int(mask.sum())} frames")
     from ..fa.stats import bw_stats_bucketed

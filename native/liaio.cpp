@@ -9,10 +9,12 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -165,6 +167,52 @@ int liaio_read(const char* path, int fmt, int big_endian, int vect_size,
   int rc = parse(raw, fmt, big_endian, vect_size, out, &f2, &d2);
   if (rc) return rc;
   return (f2 == frames && d2 == dim) ? 0 : 2;
+}
+
+// Parallel batched read: n files into a caller-allocated padded
+// (n, t_pad, dim) float32 arena (zero-filled by the caller — short files
+// leave zero rows, the framework's zero-weight padding contract).  A
+// worker-pool over an atomic file index replaces the reference's
+// per-thread static file-list split (AccumulateTVStat.cpp:478-551);
+// lengths[i] gets the file's frame count, or -1 (read/parse error) /
+// -2 (dim mismatch) / -3 (longer than t_pad).  n_threads <= 0 uses the
+// hardware concurrency.
+int liaio_read_batch(const char* const* paths, int n, int fmt,
+                          int big_endian, int vect_size, float* arena,
+                          int64_t t_pad, int dim, int64_t* lengths,
+                          int n_threads) {
+  if (n_threads <= 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    n_threads = hc ? static_cast<int>(hc) : 4;
+  }
+  if (n_threads > n) n_threads = n;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      auto raw = read_all(paths[i]);
+      if (raw.empty()) { lengths[i] = -1; failures++; continue; }
+      int64_t frames;
+      int d2;
+      if (parse(raw, fmt, big_endian, vect_size, nullptr, &frames, &d2)) {
+        lengths[i] = -1; failures++; continue;
+      }
+      if (d2 != dim) { lengths[i] = -2; failures++; continue; }
+      if (frames > t_pad) { lengths[i] = -3; failures++; continue; }
+      float* slot = arena + static_cast<int64_t>(i) * t_pad * dim;
+      if (parse(raw, fmt, big_endian, vect_size, slot, &frames, &d2)) {
+        lengths[i] = -1; failures++; continue;
+      }
+      lengths[i] = frames;
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
 }
 
 // Column-mask copy: src (frames, src_dim) → dst (frames, n_idx) using the

@@ -52,3 +52,44 @@ def test_native_bad_file_falls_back(tmp_path):
     with open(p, "wb") as f:
         f.write(b"\x01\x02\x03")
     assert read_features_native(p, "SPRO3") is None
+
+
+def test_native_batch_loader_matches_sequential(tmp_path, rng):
+    """liaio_read_batch (parallel worker pool) == per-file reads, with
+    None for unreadable entries and featureServerMask applied through
+    load_files_batch."""
+    import numpy as np
+    from lia_ral_tpu.config import Config
+    from lia_ral_tpu.io.features import read_feature_file, write_feature_file
+    from lia_ral_tpu.io.native import read_features_batch_native
+    from lia_ral_tpu.tools.common import load_files_batch
+
+    names, mats = [], []
+    for i, n in enumerate([37, 512, 5, 129]):
+        m = rng.standard_normal((n, 9)).astype(np.float32)
+        nm = f"bf{i}"
+        write_feature_file(str(tmp_path / (nm + ".prm")), m, fmt="SPRO4")
+        names.append(nm)
+        mats.append(m)
+    paths = [str(tmp_path / (n + ".prm")) for n in names]
+    out = read_features_batch_native(paths + [str(tmp_path / "nope.prm")],
+                                    "SPRO4")
+    if out is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    for m, o in zip(mats, out):
+        np.testing.assert_array_equal(m, o)
+    assert out[-1] is None
+    # through the config-driven helper with a column mask
+    cfg = Config({
+        "featureFilesPath": str(tmp_path) + "/",
+        "loadFeatureFileFormat": "SPRO4",
+        "loadFeatureFileExtension": ".prm",
+        "featureServerMask": "0-3,5",
+        "addDefaultLabel": "true", "defaultLabel": "speech",
+        "labelSelectedFrames": "speech",
+    })
+    loaded = load_files_batch(names + ["nope"], cfg, batch=2)
+    for m, o in zip(mats, loaded):
+        np.testing.assert_array_equal(m[:, [0, 1, 2, 3, 5]], o)
+    assert loaded[-1] is None
