@@ -111,6 +111,14 @@ class SimpleSpkDetSystem:
     def speaker_ids(self) -> list[str]:
         return list(self.speakers.keys())
 
+    def _padded_features(self):
+        """(x, w) with the frame axis padded to the serving bucket
+        (zero weights on padding — exact for stats/LLR; one compiled
+        executable per bucket instead of per audio length)."""
+        from ..tools.compute_test import _pad_frames
+        x_np, w_np, _ = _pad_frames(np.asarray(self.features, np.float32))
+        return jnp.asarray(x_np), jnp.asarray(w_np)
+
     def create_speaker_model(self, uid: str) -> None:
         """createSpeakerModel (cpp:948): MAP-adapt the UBM on the features
         in memory."""
@@ -119,8 +127,7 @@ class SimpleSpkDetSystem:
         mcfg = MapCfg.from_config(self.cfg) if self.cfg.exists("MAPAlgo") \
             else MapCfg(method="MAPOccDep", mean_adapt=True, mean_r=14.0,
                         nb_train_it=3)
-        x = jnp.asarray(self.features)
-        w = jnp.ones(x.shape[0], jnp.float32)
+        x, w = self._padded_features()
         self._seed += 1
         self.speakers[uid] = adapt_model(jax.random.key(self._seed), x, w,
                                          self.ubm, mcfg)
@@ -131,21 +138,30 @@ class SimpleSpkDetSystem:
         assert uid in self.speakers, f"unknown speaker {uid}"
         mcfg = MapCfg(method="MAPOccDep", mean_adapt=True, mean_r=14.0,
                       nb_train_it=2)
-        x = jnp.asarray(self.features)
-        w = jnp.ones(x.shape[0], jnp.float32)
+        x, w = self._padded_features()
         self._seed += 1
         self.speakers[uid] = adapt_model(jax.random.key(self._seed), x, w,
                                          self.speakers[uid], mcfg)
 
     # -- recognition ----------------------------------------------------------
     def _llr(self, uids: list[str]) -> np.ndarray:
+        """Serving-shape discipline: the audio length and speaker count
+        vary per request, so pad frames to buckets and the client axis
+        to a power of two (zero-weight rows / discarded scores — exact,
+        tools/compute_test.py contract).  One compiled executable per
+        bucket pair instead of one per (utterance length, enrolled
+        count): verify/identify latency stays flat as audio streams in."""
         assert self.ubm is not None and self.feature_count() > 0
-        x = jnp.asarray(self.features)
-        w = jnp.ones(x.shape[0], jnp.float32)
-        clients = stack_gmms([self.speakers[u] for u in uids])
-        return np.asarray(compute_test_llr(
-            x, w, self.ubm, clients,
+        from ..tools.compute_test import _pad_clients, _pad_frames
+        x_np, w_np, g_np = _pad_frames(
+            np.asarray(self.features, np.float32))
+        clients, _, c_real = _pad_clients(
+            [self.speakers[u] for u in uids], list(uids))
+        llr = np.asarray(compute_test_llr(
+            jnp.asarray(x_np), jnp.asarray(w_np), self.ubm,
+            stack_gmms(clients), groups=jnp.asarray(g_np),
             top_k=min(self.top_k, self.ubm.n_components)))
+        return llr[:c_real]
 
     def _accumulate(self, uid: str, score: float) -> float:
         """Running frame-weighted score average (cpp:1075-1100)."""
