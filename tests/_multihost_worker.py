@@ -60,7 +60,33 @@ def main():
                  n=np.asarray(stats.n), sum_x=np.asarray(stats.sum_x),
                  sum_xx=np.asarray(stats.sum_xx),
                  llk=np.asarray(stats.llk), count=np.asarray(stats.count))
+
+    # cross-host PLDA EM: the session axis shard_maps over the GLOBAL
+    # mesh, so the cross-session reduce_fn psums ride DCN between the
+    # two processes (the multi-host form of PldaTools.cpp:2647's
+    # mutex-guarded accumulators)
+    from lia_ral_tpu.backend.plda import PldaModel
+    from lia_ral_tpu.parallel.sharding import sharded_plda_em_iteration
+    vecs, labels, model = plda_problem()
+    from lia_ral_tpu.backend.ivnorm import DevSet
+    dev = DevSet.from_labels(vecs, labels)
+    new = sharded_plda_em_iteration(mesh, model, dev)
+    if jax.process_index() == 0:
+        np.savez(os.path.join(outdir, "plda.npz"),
+                 f=np.asarray(new.f), g=np.asarray(new.g),
+                 sigma=np.asarray(new.sigma), mean=np.asarray(new.mean))
     print(f"proc {pid}: ok", flush=True)
+
+
+def plda_problem():
+    from lia_ral_tpu.backend.plda import PldaModel
+    rngp = np.random.default_rng(7)
+    vecs = rngp.standard_normal((16, 10)).astype(np.float32)
+    labels = [f"s{i % 4}" for i in range(16)]
+    model = PldaModel.init(jax.random.key(3), 10, 4, 2,
+                           data_mean=vecs.mean(0),
+                           data_cov=np.cov(vecs.T).astype(np.float32))
+    return vecs, labels, model
 
 
 if __name__ == "__main__":

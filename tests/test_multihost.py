@@ -69,3 +69,15 @@ def test_two_process_stats_equal_single_process(tmp_path):
     np.testing.assert_allclose(got["llk"], np.asarray(ref.llk),
                                rtol=1e-5, atol=1e-3)
     assert got["count"] == pytest.approx(float(ref.count))
+
+    # cross-host PLDA EM == single-process serial iteration
+    from tests._multihost_worker import plda_problem
+    from lia_ral_tpu.backend.ivnorm import DevSet
+    from lia_ral_tpu.backend.plda import plda_em_iteration
+    vecs, labels, model = plda_problem()
+    ref_p = plda_em_iteration(model, DevSet.from_labels(vecs, labels))
+    got_p = np.load(os.path.join(str(tmp_path), "plda.npz"))
+    np.testing.assert_allclose(got_p["f"], np.asarray(ref_p.f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_p["sigma"], np.asarray(ref_p.sigma),
+                               rtol=1e-4, atol=1e-4)
