@@ -19,6 +19,7 @@ from flax import struct
 
 from ..gmm.kernels import llk_and_posteriors
 from ..gmm.model import GmmDiag
+from ..utils.shapes import bucket_len, next_pow2
 
 
 @struct.dataclass
@@ -103,14 +104,14 @@ def bw_stats_bucketed(entries, gmm: GmmDiag, bucket: int = 2048,
     rows_f: list = [None] * len(entries)
     by_len: dict[int, list[int]] = {}
     for i, (x, _) in enumerate(entries):
-        plen = -(-max(x.shape[0], 1) // bucket) * bucket
+        plen = bucket_len(x.shape[0], bucket)
         by_len.setdefault(plen, []).append(i)
     for plen, idxs in by_len.items():
         for s0 in range(0, len(idxs), batch_size):
             grp = idxs[s0:s0 + batch_size]
             # pad the batch axis to the next power of two (zero-weight
             # utterances) so ragged tail batches reuse compiled shapes
-            b_pad = 1 << max(len(grp) - 1, 0).bit_length()
+            b_pad = next_pow2(len(grp))
             xs = np.zeros((b_pad, plen, d), np.float32)
             ms = np.zeros((b_pad, plen), np.float32)
             for j, i in enumerate(grp):

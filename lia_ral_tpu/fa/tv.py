@@ -114,7 +114,7 @@ def estimate_tett(model: TvModel) -> jax.Array:
 
 
 def _posterior(n_blk, fbar_blk, model: TvModel, tett: jax.Array,
-               tn_flat: jax.Array | None = None):
+               tn_flat: jax.Array | None = None, need_cov: bool = True):
     """Per-utterance-block posteriors: L⁻¹ and w.
 
     n_blk: (B, K); fbar_blk: (B, K, D) centered stats; ``tn_flat`` a
@@ -140,6 +140,10 @@ def _posterior(n_blk, fbar_blk, model: TvModel, tett: jax.Array,
                   preferred_element_type=jnp.float32)
     chol = jnp.linalg.cholesky(l_mat)                      # (B,R,R)
     w = jax.scipy.linalg.cho_solve((chol, True), aux[..., None])[..., 0]
+    if not need_cov:
+        # extraction doesn't need the posterior covariance; the L⁻¹
+        # identity-solve is an extra B·R³ of triangular work per block
+        return w, None
     linv = jax.scipy.linalg.cho_solve(
         (chol, True), jnp.broadcast_to(eye, l_mat.shape))
     return w, linv
@@ -147,19 +151,9 @@ def _posterior(n_blk, fbar_blk, model: TvModel, tett: jax.Array,
 
 def _posterior_mean(n_blk, fbar_blk, model: TvModel, tett: jax.Array,
                     tn_flat: jax.Array):
-    """w only — extraction doesn't need the posterior covariance, and
-    the L⁻¹ identity-solve is an extra B·R³ of triangular work per
-    block (half of stage C's wall, PERF.md §2)."""
-    r = model.rank
-    b, k = n_blk.shape
-    eye = jnp.eye(r, dtype=n_blk.dtype)
-    l_mat = eye[None] + jnp.dot(
-        n_blk, tett.reshape(k, r * r),
-        preferred_element_type=jnp.float32).reshape(b, r, r)
-    aux = jnp.dot(fbar_blk.reshape(b, -1), tn_flat.T,
-                  preferred_element_type=jnp.float32)
-    chol = jnp.linalg.cholesky(l_mat)
-    return jax.scipy.linalg.cho_solve((chol, True), aux[..., None])[..., 0]
+    """w only — see _posterior(need_cov=False)."""
+    return _posterior(n_blk, fbar_blk, model, tett, tn_flat,
+                      need_cov=False)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

@@ -152,5 +152,8 @@ def read_features_batch_native(paths: list[str], fmt: str,
         arena.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         t_pad, dim, lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         n_threads)
-    return [arena[i, :int(lengths[i])] if lengths[i] >= 0 else None
+    # .copy(): a view would pin the whole (n, t_pad, dim) arena (sized by
+    # the LARGEST file of the batch) for the lifetime of every small
+    # file's array — multi-GB retention over a thousands-of-files NDX
+    return [arena[i, :int(lengths[i])].copy() if lengths[i] >= 0 else None
             for i in range(len(paths))]

@@ -39,9 +39,16 @@ def sharded_em_stats(
     w: jax.Array,
     gmm: GmmDiag,
     chunk: int = 4096,
+    local_fn=None,
 ) -> EmStats:
     """EM sufficient stats with the frame axis sharded over mesh axis
-    "data"; the model is replicated; stats are psum-merged over ICI."""
+    "data"; the model is replicated; stats are psum-merged over ICI.
+    ``local_fn`` is the per-shard kernel (default: the XLA chunked path;
+    pass gmm.em.default_stats_fn(...) to run the fused Pallas kernel —
+    with its fastMath/fastStats tiers — on every shard)."""
+    if local_fn is None:
+        def local_fn(xs, ws, g):
+            return em_stats_chunked(xs, ws, g, chunk=chunk)
 
     @functools.partial(
         shard_map,
@@ -50,21 +57,28 @@ def sharded_em_stats(
         out_specs=P(),
     )
     def _stats(xs, ws, g):
-        local = em_stats_chunked(xs, ws, g, chunk=chunk)
-        return jax.lax.psum(local, axis_name="data")
+        return jax.lax.psum(local_fn(xs, ws, g), axis_name="data")
 
     n_data = mesh.shape["data"]
     x, w = shard_frames(x, w, n_data)
     return _stats(x, w, gmm)
 
 
-def sharded_stats_fn(mesh: Mesh, chunk: int = 4096):
+def sharded_stats_fn(mesh: Mesh, chunk: int = 4096,
+                     fast_math: bool = False, fast_stats: bool = False):
     """stats_fn drop-in for gmm.em.train_model / map_adapt.adapt_model:
-    same (x, w, gmm) → EmStats signature, jitted over the mesh."""
+    same (x, w, gmm) → EmStats signature, jitted over the mesh.  The
+    per-shard kernel is the backend-best one (fused Pallas on TPU), so
+    the fastMath/fastStats arithmetic tiers also apply under
+    numThread-sharding."""
+    from ..gmm.em import default_stats_fn
+    local = default_stats_fn(chunk=chunk, fast_math=fast_math,
+                             fast_stats=fast_stats)
 
     @jax.jit
     def fn(x, w, gmm):
-        return sharded_em_stats(mesh, x, w, gmm, chunk=chunk)
+        return sharded_em_stats(mesh, x, w, gmm, chunk=chunk,
+                                local_fn=local)
 
     return fn
 

@@ -224,4 +224,6 @@ def resolve_stats_fn(cfg: Config):
     if n <= 1:
         return None
     mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
-    return sharded_stats_fn(mesh)
+    return sharded_stats_fn(mesh,
+                            fast_math=cfg.get_bool("fastMath", False),
+                            fast_stats=cfg.get_bool("fastStats", False))

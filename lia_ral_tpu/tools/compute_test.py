@@ -30,8 +30,11 @@ import numpy as np
 from ..config import Config
 from ..gmm.model import GmmDiag
 from ..gmm.scoring import compute_test_llr, decime_groups, stack_gmms, top_k_llk
-
-FRAME_BUCKET = 1024
+from ..io.labels import frame_idx_to_time, frame_mask_to_segments
+from ..io.lists import read_ndx
+from ..io.nist import ScoreLine, write_nist_scores
+from ..utils.shapes import FRAME_BUCKET, bucket_len, next_pow2
+from .common import load_features_and_mask, mixture_path, setup_verbose
 
 
 def _pad_frames(x: np.ndarray, w: np.ndarray | None = None,
@@ -44,7 +47,7 @@ def _pad_frames(x: np.ndarray, w: np.ndarray | None = None,
     consumer weights frames by w; padded frames self-determine their
     top-K groups and carry zero weight."""
     t = x.shape[0]
-    p = -(-max(t, 1) // bucket) * bucket
+    p = bucket_len(t, bucket)
     if w is None:
         w = np.ones(t, np.float32)
     if p == t:
@@ -65,12 +68,8 @@ def _pad_clients(clients: list, names: list[str]):
     axis takes few distinct compiled shapes; padded rows repeat client 0
     and their scores are discarded by the caller."""
     c = len(clients)
-    c_pad = 1 << max(c - 1, 0).bit_length() if c else 1
+    c_pad = next_pow2(c) if c else 1
     return clients + [clients[0]] * (c_pad - c), names, c
-from ..io.labels import frame_idx_to_time, frame_mask_to_segments
-from ..io.lists import read_ndx
-from ..io.nist import ScoreLine, write_nist_scores
-from .common import load_features_and_mask, mixture_path, setup_verbose
 
 
 def _load_jfa_model(cfg: Config, gmm: GmmDiag, lfa: bool):

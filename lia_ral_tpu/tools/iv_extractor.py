@@ -46,7 +46,7 @@ def main(cfg: Config) -> dict[str, np.ndarray]:
     mode = cfg.get_str("ivExtractionMode", "exact")
     if mode == "exact":
         w = estimate_w(stats, model,
-                       chunk=cfg.get_int("speakerChunk", 64))
+                       chunk=cfg.get_int("speakerChunk", 256))
     elif mode == "ubmWeight":
         # On CPU the reference uses this to dodge per-utterance L-inversion
         # (IvExtractor.cpp:151); on TPU the exact batched-Cholesky path is

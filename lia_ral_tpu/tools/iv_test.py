@@ -190,7 +190,15 @@ def main(cfg: Config) -> list[ScoreLine]:
                               mesh=resolve_mesh(cfg))
         ns = (jnp.asarray(n_sessions, jnp.float32) if mode == "plda"
               else jnp.ones((len(model_names),), jnp.float32))
-        scores = plda_llr(plda, enroll, ns, segs)
+        from .common import resolve_mesh
+        mesh = resolve_mesh(cfg)
+        if mesh is not None:
+            # numThread → model-axis sharded batched scoring (the
+            # reference's threaded scoring loop, PldaTools.cpp:4061)
+            from ..parallel.sharding import sharded_plda_llr
+            scores = sharded_plda_llr(mesh, plda, enroll, ns, segs)
+        else:
+            scores = plda_llr(plda, enroll, ns, segs)
     else:
         raise ValueError(f"unknown scoring mode {mode}")
 

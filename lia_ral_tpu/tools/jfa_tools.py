@@ -51,7 +51,12 @@ def accumulate_session_stats(cfg: Config, gmm: GmmDiag, verbose=False
         if x is None:
             print(f"WARNING: cannot read session [{f}] — session skipped")
             continue
-        mask = file_frame_mask(f, x.shape[0], cfg)
+        try:
+            mask = file_frame_mask(f, x.shape[0], cfg)
+        except Exception as e:   # malformed .lbl → warn-skip, rerun shard
+            print(f"WARNING: bad label file for session [{f}]: {e}"
+                  " — session skipped")
+            continue
         entries.append((x, mask))
         sess_names.append(f)
         sess_spk.append(sid)

@@ -26,9 +26,9 @@ from ..frontend.normfeat import (cmvn_global_batch, cmvn_segmental,
                                  cmvn_window_batch, feature_warping,
                                  feature_warping_batch)
 from ..io.features import write_feature_file
+from ..utils.shapes import FRAME_BUCKET, bucket_len, next_pow2
 from .common import load_features_and_mask, resolve_list, setup_verbose
 
-FRAME_BUCKET = 1024       # pad file lengths to multiples of this
 FILE_BATCH = 32           # files per device dispatch
 
 
@@ -38,10 +38,6 @@ def _out_path(name: str, cfg: Config) -> str:
     return os.path.join(root, name + ext)
 
 
-def _bucket_len(n: int, bucket: int = FRAME_BUCKET) -> int:
-    return -(-max(n, 1) // bucket) * bucket
-
-
 def _batched_norm(entries, kernel, prepad=None):
     """Run ``kernel(x (B,T,D), w (B,T)) -> (B,T,D)`` over length-bucketed
     padded batches of ragged files; returns per-file outputs in input
@@ -49,13 +45,13 @@ def _batched_norm(entries, kernel, prepad=None):
     outs: list = [None] * len(entries)
     by_len: dict[int, list[int]] = {}
     for i, (x, _) in enumerate(entries):
-        by_len.setdefault(_bucket_len(x.shape[0]), []).append(i)
+        by_len.setdefault(bucket_len(x.shape[0]), []).append(i)
     for plen, idxs in by_len.items():
         for s0 in range(0, len(idxs), FILE_BATCH):
             grp = idxs[s0:s0 + FILE_BATCH]
             # batch axis padded to the next power of two with zero-weight
             # files: a ragged tail batch must not cost its own XLA compile
-            b_pad = 1 << max(len(grp) - 1, 0).bit_length()
+            b_pad = next_pow2(len(grp))
             d = entries[grp[0]][0].shape[1]
             if prepad is not None:
                 mats = [prepad(entries[i][0], entries[i][1], plen)
@@ -112,7 +108,22 @@ def main(cfg: Config) -> dict[str, np.ndarray]:
     var_only = cfg.get_bool("varOnly", False)
     out: dict[str, np.ndarray] = {}
 
-    # ---- load every file host-side first (parallel native reader) -------
+    # Streamed in chunks of FILE_BATCH files: each chunk is loaded by the
+    # parallel native reader, normalised through the bucketed batch
+    # kernels, written, and FREED — a full-corpus NormFeat run keeps one
+    # chunk's INPUTS resident (the old whole-list load held every file at
+    # once), while the jit cache still gives compile-once across chunks.
+    # (The returned dict accumulates outputs for API/test callers; the
+    # normalised files are on disk either way, so CLI-scale runs can
+    # ignore it.)
+    for c0 in range(0, len(names), FILE_BATCH):
+        _process_chunk(names[c0:c0 + FILE_BATCH], cfg, mode, seg_mode,
+                       window, cms_only, var_only, verbose, out)
+    return out
+
+
+def _process_chunk(names, cfg, mode, seg_mode, window, cms_only, var_only,
+                   verbose, out):
     from .common import file_frame_mask, load_files_batch
     mats = load_files_batch(names, cfg)
     entries: list[tuple[np.ndarray, np.ndarray]] = []
@@ -236,7 +247,6 @@ def main(cfg: Config) -> dict[str, np.ndarray]:
         out[name] = keep
         if verbose:
             print(f"[{name}] mode={mode}/{seg_mode} → {_out_path(name, cfg)}")
-    return out
 
 
 if __name__ == "__main__":

@@ -68,8 +68,13 @@ def accumulate_stats_from_ndx(cfg: Config, gmm: GmmDiag,
             print(f"WARNING: cannot read session [{session}]"
                   " — session skipped")
             continue
-        masks = [file_frame_mask(nm, x.shape[0], cfg)
-                 for nm, x in zip(flat[a:b], xs)]
+        try:
+            masks = [file_frame_mask(nm, x.shape[0], cfg)
+                     for nm, x in zip(flat[a:b], xs)]
+        except Exception as e:   # malformed .lbl → warn-skip, rerun shard
+            print(f"WARNING: bad label file for session [{session}]: {e}"
+                  " — session skipped")
+            continue
         x = xs[0] if len(xs) == 1 else np.concatenate(xs)
         mask = masks[0] if len(masks) == 1 else np.concatenate(masks)
         entries.append((session, x, mask))

@@ -31,8 +31,11 @@ SCALES = {
     # k: UBM comps, rv/ru: V/U ranks, spk/imp counts, sessions per dev spk
     "small": dict(k=64, d=24, rv=16, ru=8, n_dev=24, n_spk=10, n_imp=5,
                   sess=4, t_utt=600, it_v=6, it_u=6, it_d=3),
-    "full": dict(k=512, d=39, rv=300, ru=100, n_dev=120, n_spk=40, n_imp=10,
-                 sess=6, t_utt=2000, it_v=8, it_u=8, it_d=4),
+    # the V estimate needs dev speakers >> rank_v (a 300-dim eigenvoice
+    # space cannot be spanned by 120 speakers — the first full run at
+    # n_dev=120 scored EER 0.3 from the rank-deficient V)
+    "full": dict(k=512, d=39, rv=300, ru=100, n_dev=500, n_spk=40, n_imp=10,
+                 sess=3, t_utt=1200, it_v=8, it_u=8, it_d=4),
 }
 
 
