@@ -42,3 +42,22 @@ def test_reads_reference_config():
     assert cfg.get_str("featureServerMask") == "0-15,17-32"
     assert cfg.get_bool("bigEndian") is False
     assert cfg.get_float("finalVarianceFlooring") == 0.5
+
+
+def test_umbrella_cli_lists_and_dispatches(tmp_path, capsys):
+    """python -m lia_ral_tpu maps reference binary names onto the tools."""
+    import numpy as np
+    from lia_ral_tpu.__main__ import TOOLS, main
+    from lia_ral_tpu.io.features import write_feature_file
+    assert main([]) == 0
+    out = capsys.readouterr().out
+    for name in ("TrainWorld", "EigenVoice", "GmmTokenizer"):
+        assert name in out
+    assert main(["NoSuchTool"]) == 2
+    # dispatch a real LIA_Utils binary name through its mode preset
+    write_feature_file(str(tmp_path / "a.prm"),
+                       np.arange(6, dtype=np.float32).reshape(2, 3),
+                       fmt="RAW")
+    assert main(["ReadFeatFile", "--inputFeatureFilename",
+                 str(tmp_path / "a.prm"), "--loadFeatureFileFormat",
+                 "RAW", "--loadFeatureFileVectSize", "3"]) in (0, None)
