@@ -109,6 +109,27 @@ def compute_test_llr(
     return mean_c - mean_w
 
 
+@functools.partial(jax.jit, static_argnames=("top_k", "use_residual"))
+def compute_test_llr_batch(
+    x: jax.Array,        # (B, T, D) padded test segments
+    w: jax.Array,        # (B, T) frame weights (0 = padding)
+    world: GmmDiag,
+    clients: GmmDiag,    # stacked pytree with leading C axis (shared)
+    groups: jax.Array,   # (B, T) per-line decime group leaders
+    top_k: int = 10,
+    use_residual: bool = True,
+) -> jax.Array:
+    """Many NDX lines against ONE client set in a single dispatch —
+    (B, C) LLRs.  The reference scores line-by-line (ComputeTest.cpp:90
+    loop); on TPU the per-line dispatch round-trip dominates large trial
+    lists, so same-client-set lines batch through one vmapped executable
+    per (bucketed length, client count) shape."""
+    return jax.vmap(
+        lambda xi, wi, gi: compute_test_llr(
+            xi, wi, world, clients, groups=gi, top_k=top_k,
+            use_residual=use_residual))(x, w, groups)
+
+
 def stack_gmms(gmms: list[GmmDiag]) -> GmmDiag:
     """Stack a list of same-shape GMMs into one pytree with leading C axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *gmms)

@@ -153,8 +153,18 @@ def main(cfg: Config) -> list[ScoreLine]:
     max_clients = cfg.get_int("maxTargetLine", 100)
     max_cached = cfg.get_int("nbMaxMixtureInMemory", 0)
     results: list[ScoreLine] = []
+    # plain-mode lines with the SAME client set and frame bucket batch
+    # into one vmapped dispatch (compute_test_llr_batch): at trial-list
+    # scale the per-line device round-trip dominates wall time.  Results
+    # carry their NDX line index so the output keeps the reference's
+    # line order.
+    ordered: list[tuple[int, ScoreLine]] = []
+    pending: dict[tuple, list] = {}
+    group_clients: dict[tuple, list] = {}
+    line_no = -1
     model_cache: dict[str, GmmDiag] = {}
     for test_name, model_names in ndx:
+        line_no += 1
         model_names = model_names[:max_clients]
         # per-line failure containment: the reference catches
         # alize::Exception per NDX line, warns, and moves on
@@ -235,14 +245,41 @@ def main(cfg: Config) -> list[ScoreLine]:
                         end=frame_idx_to_time(a + L, frame_length)))
                 off += L
         else:
-            llr = np.asarray(compute_test_llr(x, w, world, stacked,
-                                              groups=groups, top_k=top_k))
-            for i, mn in enumerate(model_names):
-                results.append(ScoreLine(
-                    gender, mn, "1" if llr[i] > threshold else "0",
-                    test_name, float(llr[i])))
+            key = (tuple(model_names), x_np.shape[0])
+            if key not in pending:
+                # capture the client models NOW — nbMaxMixtureInMemory
+                # may clear model_cache before the deferred flush
+                group_clients[key] = clients[:c_real]
+            pending.setdefault(key, []).append(
+                (line_no, test_name, x_np, w_np, g_np))
         if verbose:
             print(f"test seg[{test_name}] scored vs {model_names}")
+
+    from ..gmm.scoring import compute_test_llr_batch
+    from ..utils.shapes import next_pow2
+    for (mnames, _plen), rows in pending.items():
+        clients, _, c_real = _pad_clients(group_clients[(mnames, _plen)],
+                                          list(mnames))
+        stacked = stack_gmms(clients)
+        for s0 in range(0, len(rows), 16):
+            grp = rows[s0:s0 + 16]
+            b_pad = next_pow2(len(grp))
+            xb = np.stack([r[2] for r in grp]
+                          + [np.zeros_like(grp[0][2])] * (b_pad - len(grp)))
+            wb = np.stack([r[3] for r in grp]
+                          + [np.zeros_like(grp[0][3])] * (b_pad - len(grp)))
+            gb = np.stack([r[4] for r in grp]
+                          + [grp[0][4]] * (b_pad - len(grp)))
+            llr = np.asarray(compute_test_llr_batch(
+                jnp.asarray(xb), jnp.asarray(wb), world, stacked,
+                jnp.asarray(gb), top_k=top_k))
+            for j, (ln, test_name, *_rest) in enumerate(grp):
+                for i, mn in enumerate(mnames[:c_real]):
+                    ordered.append((ln, ScoreLine(
+                        gender, mn,
+                        "1" if llr[j, i] > threshold else "0",
+                        test_name, float(llr[j, i]))))
+    results.extend(sl for _, sl in sorted(ordered, key=lambda t: t[0]))
     write_nist_scores(cfg.get_str("outputFilename"), results)
     return results
 
