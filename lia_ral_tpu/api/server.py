@@ -66,6 +66,11 @@ class SpkDetServer:
         self.port = port
         self._sock: socket.socket | None = None
         self._audio = bytearray()   # raw PCM buffered across A_SEND packets
+        # one worker serves every connection (the reference's model,
+        # SpkDetServer.cpp:845); commands from concurrent clients
+        # serialise on this lock so shared feature/speaker/audio state
+        # never interleaves mid-command
+        self._cmd_lock = threading.Lock()
 
     @staticmethod
     def _pcm_to_signal(pcm: bytes) -> np.ndarray:
@@ -206,7 +211,9 @@ class SpkDetServer:
         try:
             while True:
                 cmd, data = read_command(sock)
-                if not self.handle(sock, cmd, data):
+                with self._cmd_lock:
+                    keep = self.handle(sock, cmd, data)
+                if not keep:
                     break
         except (ConnectionError, OSError):
             pass

@@ -257,12 +257,19 @@ def main(cfg: Config) -> list[ScoreLine]:
 
     from ..gmm.scoring import compute_test_llr_batch
     from ..utils.shapes import next_pow2
+    k_world = world.n_components
     for (mnames, _plen), rows in pending.items():
         clients, _, c_real = _pad_clients(group_clients[(mnames, _plen)],
                                           list(mnames))
         stacked = stack_gmms(clients)
-        for s0 in range(0, len(rows), 16):
-            grp = rows[s0:s0 + 16]
+        # the batched executable materialises a (B, C, P, K) density
+        # block; bound B so it stays ~2 GB of HBM (the first full-scale
+        # cohort run OOMed at B=16 x C=64 x P=2048 x K=2048 = 34 GB)
+        per_line = max(len(clients) * _plen * k_world * 4, 1)
+        b_cap = max(1, min(16, (2 << 30) // per_line))
+        b_cap = 1 << (b_cap.bit_length() - 1)       # round down to pow2
+        for s0 in range(0, len(rows), b_cap):
+            grp = rows[s0:s0 + b_cap]
             b_pad = next_pow2(len(grp))
             xb = np.stack([r[2] for r in grp]
                           + [np.zeros_like(grp[0][2])] * (b_pad - len(grp)))

@@ -313,3 +313,20 @@ def test_efr_rank_deficient_dev_preserves_separation(rng):
     imp = [s_mat[i, j] for i in range(n_spk) for j in range(2 * n_spk)
            if j // 2 != i]
     assert eer(np.asarray(tgt), np.asarray(imp)) < 0.1
+
+
+def test_eer_negative_control(rng):
+    """EER sanity: identical target/impostor distributions score ~0.5
+    (chance), separated ones score the analytic overlap — guards the
+    milestone EER records against an eval-code artifact."""
+    from lia_ral_tpu.backend.eval import eer, min_dcf
+    same_t = rng.standard_normal(4000)
+    same_i = rng.standard_normal(4000)
+    e_chance = eer(same_t, same_i)
+    assert 0.45 < e_chance < 0.55, e_chance
+    # N(1.66,1) vs N(-1.66,1): EER = Phi(-1.66) ~ 4.85%
+    sep_t = rng.standard_normal(4000) + 1.66
+    sep_i = rng.standard_normal(4000) - 1.66
+    e_sep = eer(sep_t, sep_i)
+    assert 0.035 < e_sep < 0.065, e_sep
+    assert 0.0 <= min_dcf(sep_t, sep_i) <= min_dcf(same_t, same_i) <= 1.0
