@@ -152,10 +152,8 @@ def main() -> None:
         "unit": "audio_s/s/chip",
         # SAME-SCOPE headline: TPU A+B+C vs measured CPU A+B+C
         "vs_baseline": round(rate / BASELINE_PIPELINE, 2),
-        # clean same-scope ratio: the CPU baseline covers stage A (EM)
-        # only, so EM-vs-EM is the apples-to-apples speedup; the headline
-        # vs_baseline above divides the full A+B+C pipeline by it and
-        # therefore UNDERSTATES the speedup (VERDICT r2 weak #5)
+        # EM-vs-EM same-scope ratio (the headline vs_baseline above is
+        # the A+B+C same-scope ratio against BASELINE_PIPELINE)
         "vs_baseline_em_only": round(audio_seconds / t_em
                                      / BASELINE_AUDIO_S_PER_S, 2),
         "em_audio_s_per_s": round(audio_seconds / t_em, 1),

@@ -66,9 +66,9 @@ def main(argv: list[str] | None = None) -> int:
         print("usage: python -m lia_ral_tpu <Tool> [--config FILE] "
               "[--key value ...]\n\ntools (reference binary names):")
         for name, (mod, preset) in sorted(TOOLS.items()):
-            target = mod or "api.server"
+            target = f"tools/{mod}" if mod else "api/server"
             mode = next(iter(preset.values()), "")
-            print(f"  {name:<{width}}  -> tools/{target}"
+            print(f"  {name:<{width}}  -> {target}"
                   + (f" [{mode}]" if mode else ""))
         return 0
     name, rest = argv[0], argv[1:]

@@ -54,6 +54,16 @@ def send_command(sock: socket.socket, cmd: int, payload: bytes = b"") -> None:
     sock.sendall(bytes([cmd]) + struct.pack("!I", len(payload)) + payload)
 
 
+class _SendBuffer:
+    """sendall-compatible response buffer (see serve_connection)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+
+    def sendall(self, data: bytes) -> None:
+        self.buf += data
+
+
 class SpkDetServer:
     """One server = one SimpleSpkDetSystem worker (reference SpkDetServer
     accept loop, SpkDetServer.cpp:845)."""
@@ -211,8 +221,14 @@ class SpkDetServer:
         try:
             while True:
                 cmd, data = read_command(sock)
+                # handle() writes into a buffer while holding the state
+                # lock; the actual socket send happens OUTSIDE it, so a
+                # client that stops reading its replies cannot wedge
+                # every other connection behind the lock
+                out = _SendBuffer()
                 with self._cmd_lock:
-                    keep = self.handle(sock, cmd, data)
+                    keep = self.handle(out, cmd, data)
+                sock.sendall(bytes(out.buf))
                 if not keep:
                     break
         except (ConnectionError, OSError):

@@ -196,7 +196,6 @@ def main(cfg: Config) -> list[ScoreLine]:
         if not clients:
             continue
         clients, model_names, c_real = _pad_clients(clients, model_names)
-        stacked = stack_gmms(clients)
         segs = frame_mask_to_segments(mask > 0, frame_length)
         sel = np.nonzero(mask > 0)[0]
         t_real = sel.shape[0]
@@ -204,9 +203,13 @@ def main(cfg: Config) -> list[ScoreLine]:
                        for s in segs]
         x_np, w_np, g_np = _pad_frames(
             fs.data[sel], groups=decime_groups(seg_lengths, world_decime))
-        x = jnp.asarray(x_np)
-        w = jnp.asarray(w_np)
-        groups = jnp.asarray(g_np)
+        if segmental or cfg.get_bool("windowLLR", False):
+            # only the immediate-scoring modes need device transfers and
+            # a stacked client pytree here; the plain path batches later
+            stacked = stack_gmms(clients)
+            x = jnp.asarray(x_np)
+            w = jnp.asarray(w_np)
+            groups = jnp.asarray(g_np)
         if cfg.get_bool("windowLLR", False):
             # windowed LLR mode (reference WindowLLR, ComputeTest.cpp:
             # 168-192): one score per sliding window of frames
@@ -250,45 +253,61 @@ def main(cfg: Config) -> list[ScoreLine]:
                 # capture the client models NOW — nbMaxMixtureInMemory
                 # may clear model_cache before the deferred flush
                 group_clients[key] = clients[:c_real]
-            pending.setdefault(key, []).append(
-                (line_no, test_name, x_np, w_np, g_np))
+            rows = pending.setdefault(key, [])
+            rows.append((line_no, test_name, x_np, w_np, g_np))
+            # flush eagerly at the memory-bounded batch size so host
+            # memory stays O(one batch), not O(trial list)
+            if len(rows) >= _line_batch_cap(len(clients), x_np.shape[0],
+                                            world.n_components):
+                _flush_plain_group(key, rows, group_clients, world, top_k,
+                                   gender, threshold, ordered)
+                pending[key] = []
         if verbose:
             print(f"test seg[{test_name}] scored vs {model_names}")
 
-    from ..gmm.scoring import compute_test_llr_batch
-    from ..utils.shapes import next_pow2
-    k_world = world.n_components
-    for (mnames, _plen), rows in pending.items():
-        clients, _, c_real = _pad_clients(group_clients[(mnames, _plen)],
-                                          list(mnames))
-        stacked = stack_gmms(clients)
-        # the batched executable materialises a (B, C, P, K) density
-        # block; bound B so it stays ~2 GB of HBM (the first full-scale
-        # cohort run OOMed at B=16 x C=64 x P=2048 x K=2048 = 34 GB)
-        per_line = max(len(clients) * _plen * k_world * 4, 1)
-        b_cap = max(1, min(16, (2 << 30) // per_line))
-        b_cap = 1 << (b_cap.bit_length() - 1)       # round down to pow2
-        for s0 in range(0, len(rows), b_cap):
-            grp = rows[s0:s0 + b_cap]
-            b_pad = next_pow2(len(grp))
-            xb = np.stack([r[2] for r in grp]
-                          + [np.zeros_like(grp[0][2])] * (b_pad - len(grp)))
-            wb = np.stack([r[3] for r in grp]
-                          + [np.zeros_like(grp[0][3])] * (b_pad - len(grp)))
-            gb = np.stack([r[4] for r in grp]
-                          + [grp[0][4]] * (b_pad - len(grp)))
-            llr = np.asarray(compute_test_llr_batch(
-                jnp.asarray(xb), jnp.asarray(wb), world, stacked,
-                jnp.asarray(gb), top_k=top_k))
-            for j, (ln, test_name, *_rest) in enumerate(grp):
-                for i, mn in enumerate(mnames[:c_real]):
-                    ordered.append((ln, ScoreLine(
-                        gender, mn,
-                        "1" if llr[j, i] > threshold else "0",
-                        test_name, float(llr[j, i]))))
+    for key, rows in pending.items():
+        if rows:
+            _flush_plain_group(key, rows, group_clients, world, top_k,
+                               gender, threshold, ordered)
     results.extend(sl for _, sl in sorted(ordered, key=lambda t: t[0]))
     write_nist_scores(cfg.get_str("outputFilename"), results)
     return results
+
+
+def _line_batch_cap(c_pad: int, plen: int, k_world: int) -> int:
+    """Lines per batched dispatch: the executable materialises a
+    (B, C, P, K) density block — bound B so it stays ~2 GB of HBM (the
+    first full-scale cohort run OOMed at B=16 x C=64 x P=2048 x K=2048
+    = 34 GB)."""
+    per_line = max(c_pad * plen * k_world * 4, 1)
+    cap = max(1, min(16, (2 << 30) // per_line))
+    return 1 << (cap.bit_length() - 1)              # round down to pow2
+
+
+def _flush_plain_group(key, rows, group_clients, world, top_k, gender,
+                       threshold, ordered) -> None:
+    """Score one (client set, frame bucket) group of plain-mode NDX
+    lines through compute_test_llr_batch, preserving line order via the
+    carried NDX indices."""
+    from ..gmm.scoring import compute_test_llr_batch
+    mnames, _plen = key
+    clients, _, c_real = _pad_clients(group_clients[key], list(mnames))
+    stacked = stack_gmms(clients)
+    b_pad = next_pow2(len(rows))
+    xb = np.stack([r[2] for r in rows]
+                  + [np.zeros_like(rows[0][2])] * (b_pad - len(rows)))
+    wb = np.stack([r[3] for r in rows]
+                  + [np.zeros_like(rows[0][3])] * (b_pad - len(rows)))
+    gb = np.stack([r[4] for r in rows]
+                  + [rows[0][4]] * (b_pad - len(rows)))
+    llr = np.asarray(compute_test_llr_batch(
+        jnp.asarray(xb), jnp.asarray(wb), world, stacked,
+        jnp.asarray(gb), top_k=top_k))
+    for j, (ln, test_name, *_rest) in enumerate(rows):
+        for i, mn in enumerate(mnames[:c_real]):
+            ordered.append((ln, ScoreLine(
+                gender, mn, "1" if llr[j, i] > threshold else "0",
+                test_name, float(llr[j, i]))))
 
 
 def _trial_context(cfg: Config):

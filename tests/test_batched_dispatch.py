@@ -132,3 +132,41 @@ def test_norm_feat_tool_batched_outputs(tmp_path, rng):
         w = jnp.ones((x.shape[0],), jnp.float32)
         ref = np.asarray(cmvn_global(jnp.asarray(x), w))
         np.testing.assert_allclose(out[nm], ref, atol=1e-5)
+
+
+def test_compute_test_llr_batch_matches_per_line(rng):
+    """The vmapped line batch (B-axis + zero-weight row padding + group
+    reuse for pad rows) reproduces per-line compute_test_llr exactly —
+    pins the ComputeTest flush-loop invariant."""
+    import jax
+    from lia_ral_tpu.gmm.scoring import compute_test_llr_batch
+    d = 6
+    xbase = rng.standard_normal((6000, d)).astype(np.float32)
+    key = jax.random.key(1)
+    xj = jnp.asarray(xbase)
+    wj = jnp.ones((6000,), jnp.float32)
+    world = train_model(key, xj, wj, mixture_init(key, xj, wj, 12),
+                        TrainCfg(nb_train_it=2))
+    clients = stack_gmms([
+        world.replace(means=world.means + 0.3 * rng.standard_normal(
+            d).astype(np.float32)) for _ in range(3)])
+    lines = []
+    for t in (300, 512, 411):
+        x = np.zeros((512, d), np.float32)
+        x[:t] = xbase[:t] + 0.1
+        w = np.zeros(512, np.float32)
+        w[:t] = 1.0
+        g = np.arange(512, dtype=np.int32)
+        lines.append((x, w, g))
+    # pad the batch axis with a zero-weight row reusing line 0's groups
+    xb = np.stack([l[0] for l in lines] + [np.zeros_like(lines[0][0])])
+    wb = np.stack([l[1] for l in lines] + [np.zeros_like(lines[0][1])])
+    gb = np.stack([l[2] for l in lines] + [lines[0][2]])
+    batch = np.asarray(compute_test_llr_batch(
+        jnp.asarray(xb), jnp.asarray(wb), world, clients,
+        jnp.asarray(gb), top_k=5))
+    for j, (x, w, g) in enumerate(lines):
+        ref = np.asarray(compute_test_llr(
+            jnp.asarray(x), jnp.asarray(w), world, clients,
+            groups=jnp.asarray(g), top_k=5))
+        np.testing.assert_allclose(batch[j], ref, rtol=1e-5, atol=1e-5)
