@@ -158,5 +158,6 @@ def test_fused_vs_xla_stats_at_shape():
     nf, ff, _ = bw_stats_fused(xu, wu, gmm)
     from lia_ral_tpu.fa.stats import accumulate_bw_stats
     n0, f0 = accumulate_bw_stats(xu[0], wu[0], gmm)
+    # cross-path budget as above: two ~5e-4 f32-grade approximations
     assert np.max(np.abs(np.asarray(nf[0]) - np.asarray(n0))
-                  / (np.asarray(n0) + 1e-9)) < 1e-3
+                  / (np.asarray(n0) + 1e-9)) < 2e-3
