@@ -100,6 +100,10 @@ def main():
     ap.add_argument("--scale", default="small", choices=list(SCALES))
     ap.add_argument("--out", default=None)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--fast", action="store_true",
+                    help="fastStats tier: bf16 single-pass stat "
+                         "contraction (~2.6e-3 occupancy rounding) — "
+                         "run to show the EER is tier-invariant")
     args = ap.parse_args()
     p = SCALES[args.scale]
 
@@ -147,6 +151,8 @@ def main():
         "nbTrainIt": p["ubm_it"], "baggedFrameProbability": 1.0,
         "baggedFrameProbabilityInit": 1.0,
     }
+    if args.fast:
+        base["fastStats"] = "true"
 
     # ---- CMVN over every feature file (NormFeat mode norm) ---------------
     all_files = (["bg"] + [n for _, n in names["dev"]]
@@ -289,7 +295,8 @@ def main():
 
     import jax
     summary = {
-        "milestone": f"configs 1-3 end-to-end ({args.scale})",
+        "milestone": (f"configs 1-3 end-to-end ({args.scale}"
+                      + (", fastStats" if args.fast else "") + ")"),
         "platform": str(jax.devices()[0]),
         "shapes": {"K": p["k"], "D": p["d"], "R": p["r"],
                    "plda_rank": p["plda"], "n_targets": p["n_spk"],
