@@ -35,7 +35,7 @@ SCALES = {
     # space cannot be spanned by 120 speakers — the first full run at
     # n_dev=120 scored EER 0.3 from the rank-deficient V)
     "full": dict(k=512, d=39, rv=300, ru=100, n_dev=500, n_spk=40, n_imp=10,
-                 sess=3, t_utt=1200, it_v=8, it_u=8, it_d=4),
+                 sess=4, t_utt=1200, it_v=10, it_u=8, it_d=4),
 }
 
 
