@@ -67,12 +67,40 @@ if _cache_dir != "0":
     try:
         import jax as _jax
 
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _cache_dir or _os.path.expanduser("~/.cache/lia_ral_tpu_xla"))
+        _cache_path = (_cache_dir
+                       or _os.path.expanduser("~/.cache/lia_ral_tpu_xla"))
+        _jax.config.update("jax_compilation_cache_dir", _cache_path)
         # cache every executable (default only >1 s compiles) and never
         # skip on fast compile times
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+        # JAX never evicts cache entries; bound the directory with a
+        # best-effort LRU trim (oldest mtime first) so long-lived
+        # production hosts don't grow it unboundedly.  Cap via
+        # LIA_RAL_TPU_COMPILE_CACHE_GB (default 8).
+        _cap = float(_os.environ.get("LIA_RAL_TPU_COMPILE_CACHE_GB",
+                                     "8")) * (1 << 30)
+        try:
+            _entries = []
+            with _os.scandir(_cache_path) as _it:
+                for _e in _it:
+                    if _e.is_file():
+                        _st = _e.stat()
+                        _entries.append((_st.st_mtime, _st.st_size,
+                                         _e.path))
+            _total = sum(_s for _, _s, _ in _entries)
+            if _total > _cap:
+                _entries.sort()
+                for _, _sz, _p in _entries:
+                    try:
+                        _os.unlink(_p)
+                    except OSError:
+                        continue
+                    _total -= _sz
+                    if _total <= _cap * 0.8:
+                        break
+        except OSError:
+            pass
     except Exception:   # cache support is best-effort per backend
         pass
