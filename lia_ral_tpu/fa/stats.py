@@ -64,7 +64,8 @@ def accumulate_bw_stats(x: jax.Array, w: jax.Array, gmm: GmmDiag
 
 
 def bw_stats_batch(x: jax.Array, mask: jax.Array, gmm: GmmDiag,
-                   use_fused: bool | None = None) -> BwStats:
+                   use_fused: bool | None = None,
+                   stats_pass: str = "x3") -> BwStats:
     """Stats of a padded utterance batch: x (S,T,D), mask (S,T).
 
     On TPU backends this dispatches to the fused Pallas kernel
@@ -75,14 +76,15 @@ def bw_stats_batch(x: jax.Array, mask: jax.Array, gmm: GmmDiag,
         use_fused = jax.default_backend() in ("tpu", "axon")
     if use_fused:
         from ..gmm.pallas_kernels import bw_stats_fused
-        n, f, _ = bw_stats_fused(x, mask, gmm)
+        n, f, _ = bw_stats_fused(x, mask, gmm, stats_pass=stats_pass)
         return BwStats(n=n, f=f)
     n, f = jax.vmap(lambda xs, ws: accumulate_bw_stats(xs, ws, gmm))(x, mask)
     return BwStats(n=n, f=f)
 
 
 def bw_stats_bucketed(entries, gmm: GmmDiag, bucket: int = 2048,
-                      batch_size: int = 64) -> BwStats:
+                      batch_size: int = 64,
+                      stats_pass: str = "x3") -> BwStats:
     """Stats of ragged utterances via length-bucketed padded batches.
 
     entries: list of (x (T_i,D) ndarray, mask (T_i,) ndarray).  Each
@@ -118,7 +120,8 @@ def bw_stats_bucketed(entries, gmm: GmmDiag, bucket: int = 2048,
                 x, m = entries[i]
                 xs[j, :x.shape[0]] = x
                 ms[j, :m.shape[0]] = m
-            st = bw_stats_batch(jnp.asarray(xs), jnp.asarray(ms), gmm)
+            st = bw_stats_batch(jnp.asarray(xs), jnp.asarray(ms), gmm,
+                                stats_pass=stats_pass)
             for j, i in enumerate(grp):
                 rows_n[i] = st.n[j]
                 rows_f[i] = st.f[j]

@@ -63,9 +63,10 @@ def accumulate_session_stats(cfg: Config, gmm: GmmDiag, verbose=False
         if verbose:
             print(f"stats [{spk_names[sid]}/{f}]: {int(mask.sum())} frames")
     from ..fa.stats import bw_stats_bucketed
-    sess = bw_stats_bucketed(entries, gmm,
-                             bucket=cfg.get_int("statsBucketFrames", 2048),
-                             batch_size=cfg.get_int("statsBatchSize", 64))
+    sess = bw_stats_bucketed(
+        entries, gmm, bucket=cfg.get_int("statsBucketFrames", 2048),
+        batch_size=cfg.get_int("statsBatchSize", 64),
+        stats_pass="bf16" if cfg.get_bool("fastStats", False) else "x3")
     stats = JfaStats.from_sessions(sess, np.asarray(sess_spk),
                                    len(spk_names))
     return stats, spk_names, sess_names
