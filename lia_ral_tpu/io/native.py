@@ -125,14 +125,23 @@ def read_features_batch_native(paths: list[str], fmt: str,
         ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int]
     lib.liaio_read_batch.restype = ctypes.c_int
-    fid = _FMT_IDS[fmt.upper()]
+    # the reference's own fixtures mislabel SPRO3/SPRO4 (TrainWorld.cfg
+    # declares SPRO4 for SPRO3-headered files) — mirror the per-file
+    # reader's header sniffing: if the declared format probes nothing,
+    # try the sibling SPRO format for the whole batch
+    orders = {"SPRO4": ["SPRO4", "SPRO3"], "SPRO3": ["SPRO3", "SPRO4"]}
     frames = ctypes.c_int64()
     dim_c = ctypes.c_int()
-    dim = 0
-    for p in paths:
-        if lib.liaio_probe(p.encode(), fid, int(big_endian), vect_size,
-                           ctypes.byref(frames), ctypes.byref(dim_c)) == 0:
-            dim = dim_c.value
+    fid = dim = 0
+    for f_try in orders.get(fmt.upper(), [fmt.upper()]):
+        fid = _FMT_IDS[f_try]
+        for p in paths:
+            if lib.liaio_probe(p.encode(), fid, int(big_endian),
+                               vect_size, ctypes.byref(frames),
+                               ctypes.byref(dim_c)) == 0:
+                dim = dim_c.value
+                break
+        if dim > 0:
             break
     if dim <= 0:
         return None

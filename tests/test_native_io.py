@@ -93,3 +93,25 @@ def test_native_batch_loader_matches_sequential(tmp_path, rng):
     for m, o in zip(mats, loaded):
         np.testing.assert_array_equal(m[:, [0, 1, 2, 3, 5]], o)
     assert loaded[-1] is None
+
+
+@requires_reference
+def test_batch_loader_reads_reference_fixtures():
+    """The parallel batch loader parses the reference's own .prm
+    fixtures identically to the per-file reader."""
+    import glob
+    import numpy as np
+    from lia_ral_tpu.io.features import read_feature_file
+    from lia_ral_tpu.io.native import read_features_batch_native
+    paths = sorted(glob.glob(
+        REFERENCE + "/LIA_SpkDet/TrainWorld/test/*.prm"))[:4]
+    assert paths
+    out = read_features_batch_native(paths, "SPRO4")
+    if out is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    for p, o in zip(paths, out):
+        ref = read_feature_file(p, fmt="SPRO4").data
+        if o is None:     # SPRO3-headered fixture → python fallback path
+            continue
+        np.testing.assert_array_equal(o, ref)
