@@ -89,7 +89,10 @@ def test_tett_shape_and_symmetry(rng):
     model = init_t(jax.random.key(1), 3, gmm)
     e = np.asarray(estimate_tett(model))
     assert e.shape == (6, 3, 3)
-    np.testing.assert_allclose(e, np.swapaxes(e, 1, 2), rtol=1e-5)
+    # the einsum computes (r,q) and (q,r) as separate bf16x3 dots on
+    # TPU — symmetric only to the matmul budget (f32-exact on CPU)
+    np.testing.assert_allclose(e, np.swapaxes(e, 1, 2),
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_em_recovers_subspace(rng):
