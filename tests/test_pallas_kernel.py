@@ -151,4 +151,4 @@ def test_bw_stats_fused_matches_xla(rng):
     for i in range(s):
         want = float(jnp.sum(frame_llk(x[i], gmm) * mask[i]))
         # cross-path bf16x3 budget on TPU; exact on CPU
-        np.testing.assert_allclose(float(llk[i]), want, rtol=1e-4)
+        np.testing.assert_allclose(float(llk[i]), want, rtol=3e-4)
