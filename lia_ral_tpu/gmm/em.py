@@ -71,16 +71,19 @@ def default_stats_fn(chunk: int = 4096, block: int = 1024,
     ``fast_math`` (config key ``fastMath``, the TPU analogue of the
     reference's -ffast-math build, configure.ac:21) runs the log-density
     matmul in bf16 on TPU; sufficient stats stay f32.
-    ``fast_stats`` (config key ``fastStats``) keeps f32-grade logits but
-    runs the stat contraction in one bf16 pass: 40.5 vs 32.4 Mframe/s at
-    K=2048 for ~2.6e-3 worst-case occupancy rounding (PERF.md §1) — a
-    milder knob than fastMath's percent-level density rounding.
+    ``fast_stats`` (config key ``fastStats``) keeps f32-grade logits
+    AND f32-grade occupancies (exact VPU column reduce) but runs the
+    S/F stat contraction in one bf16 pass: 37.4 vs 32.4 Mframe/s at
+    K=2048 with occupancy rel-err 4.7e-4 — the same occupancy grade as
+    the default; only the first/second-order sums carry ~2e-3 rounding
+    (PERF.md §1).  A milder knob than fastMath's percent-level density
+    rounding.
     """
     if jax.default_backend() in ("tpu", "axon"):
         from .pallas_kernels import em_stats_fused
 
         dt = jnp.bfloat16 if fast_math else None
-        sp = "bf16" if fast_stats else "x3"
+        sp = "bf16nx" if fast_stats else "x3"
 
         def fn(x, w, gmm):
             return em_stats_fused(x, w, gmm, block=block, compute_dtype=dt,

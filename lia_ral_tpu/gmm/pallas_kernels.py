@@ -77,11 +77,25 @@ def _stats_contract(p, xs, stats_pass):
 
     x3      : both operands hi/lo split, 3 passes (f32-grade, default)
     bf16    : both single-pass bf16 (fastest, ~2.6e-3 occupancy bias)
+    bf16nx  : single-pass bf16 for the big (K, A) block, but the
+              OCCUPANCY column recomputed at full precision — a
+              (K, BN)@(BN, 1) 3-pass matmul is negligible, so the tier
+              keeps f32-grade occupancies while S/F carry the bf16
+              rounding (the EM M-step divides S/F by n, so their shared
+              rounding partially cancels in the means)
     bf16x2p : p split, xs single bf16 — 2 passes, error from xs rounding
     bf16x2x : p single bf16, xs split — 2 passes, error from p rounding
     (errors measured on-chip in scripts/sweep_fused.py)"""
-    if stats_pass == "bf16":
-        return _dotp(p.T.astype(jnp.bfloat16), xs.astype(jnp.bfloat16))
+    if stats_pass in ("bf16", "bf16nx"):
+        stats = _dotp(p.T.astype(jnp.bfloat16), xs.astype(jnp.bfloat16))
+        if stats_pass == "bf16nx":
+            a = xs.shape[1]
+            # exact f32 occupancies on the VPU: one fused multiply+
+            # column-reduce pass over the p tile (n_k = Σ_b p_bk·s_b)
+            n_exact = jnp.sum(p * xs[:, a - 2:a - 1], axis=0)[:, None]
+            cols = jax.lax.broadcasted_iota(jnp.int32, stats.shape, 1)
+            stats = jnp.where(cols == a - 2, n_exact, stats)
+        return stats
     if stats_pass == "bf16x2p":
         ph, plo = _bf16_split(p)
         xsb = xs.astype(jnp.bfloat16)
@@ -162,7 +176,7 @@ def _em_stats_kernel(k, prec, exp_mode, stats_pass, xa_ref, w_ref, b_ref,
                      precision=prec) + cst_ref[:]         # (BN, K)
     p, s, llk = _softmax_block(ld, wb, exp_mode)
     xs = xa * s                                     # (BN, A): row scale
-    if stats_pass in ("bf16", "bf16sr", "bf16x2p", "bf16x2x"):
+    if stats_pass in ("bf16", "bf16nx", "bf16sr", "bf16x2p", "bf16x2x"):
         # single-pass bf16 stat contraction: the LOGITS carry the
         # parity-critical precision (f32-grade above); rounding the
         # already-exact posteriors to bf16 drops two MXU passes and the
@@ -357,7 +371,7 @@ def _bw_stats_kernel(k, prec, exp_mode, stats_pass, xa_ref, w_ref, b_ref,
                      precision=prec) + cst_ref[:]
     p, s, llk = _softmax_block(ld, wb, exp_mode)
     xs = xa * s                                     # (BT, A): row scale
-    if stats_pass in ("bf16", "bf16sr", "bf16x2p", "bf16x2x"):
+    if stats_pass in ("bf16", "bf16nx", "bf16sr", "bf16x2p", "bf16x2x"):
         if stats_pass == "bf16sr":       # see em_stats kernel: debiased SR
             pltpu.prng_seed(t + pl.program_id(0) * n_t)
             pt = pltpu.stochastic_round(

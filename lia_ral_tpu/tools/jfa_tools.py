@@ -66,7 +66,7 @@ def accumulate_session_stats(cfg: Config, gmm: GmmDiag, verbose=False
     sess = bw_stats_bucketed(
         entries, gmm, bucket=cfg.get_int("statsBucketFrames", 2048),
         batch_size=cfg.get_int("statsBatchSize", 64),
-        stats_pass="bf16" if cfg.get_bool("fastStats", False) else "x3")
+        stats_pass="bf16nx" if cfg.get_bool("fastStats", False) else "x3")
     stats = JfaStats.from_sessions(sess, np.asarray(sess_spk),
                                    len(spk_names))
     return stats, spk_names, sess_names

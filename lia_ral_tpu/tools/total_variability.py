@@ -84,7 +84,7 @@ def accumulate_stats_from_ndx(cfg: Config, gmm: GmmDiag,
     stats = bw_stats_bucketed(
         [(x, m) for _, x, m in entries], gmm, bucket=bucket,
         batch_size=batch_size,
-        stats_pass="bf16" if cfg.get_bool("fastStats", False) else "x3")
+        stats_pass="bf16nx" if cfg.get_bool("fastStats", False) else "x3")
     names = [name for name, _, _ in entries]
     return stats, names
 

@@ -89,7 +89,10 @@ bench("fused f32-HIGH block1024",
 # --- r3 modes: cst fold is always on; exp/stats arithmetic variants ---------
 bench("r3 default exp2/x3 block1024",
       lambda a, b: em_stats_fused(a, b, gmm, block=1024))
-bench("r3 fastStats bf16 block1024",
+bench("r3 fastStats bf16nx block1024",
+      lambda a, b: em_stats_fused(a, b, gmm, block=1024,
+                                  stats_pass="bf16nx"))
+bench("r3 bf16 1-pass stats block1024",
       lambda a, b: em_stats_fused(a, b, gmm, block=1024,
                                   stats_pass="bf16"))
 bench("r3 exp (natural) x3 block1024",
