@@ -76,8 +76,11 @@ if _cache_dir != "0":
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
         # JAX never evicts cache entries; bound the directory with a
-        # best-effort LRU trim (oldest mtime first) so long-lived
-        # production hosts don't grow it unboundedly.  Cap via
+        # best-effort LRU trim so long-lived production hosts don't
+        # grow it unboundedly.  Eviction order is last-ACCESS time
+        # (mtime never changes after a cache write, which would make
+        # hot stable entries the first victims; atime is relatime-
+        # granular but directionally right).  Cap via
         # LIA_RAL_TPU_COMPILE_CACHE_GB (default 8).
         _cap = float(_os.environ.get("LIA_RAL_TPU_COMPILE_CACHE_GB",
                                      "8")) * (1 << 30)
@@ -87,8 +90,8 @@ if _cache_dir != "0":
                 for _e in _it:
                     if _e.is_file():
                         _st = _e.stat()
-                        _entries.append((_st.st_mtime, _st.st_size,
-                                         _e.path))
+                        _entries.append((max(_st.st_atime, _st.st_mtime),
+                                         _st.st_size, _e.path))
             _total = sum(_s for _, _s, _ in _entries)
             if _total > _cap:
                 _entries.sort()

@@ -236,7 +236,9 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
     mode                        Mframe/s    max occupancy rel-err vs f64
     ==========================  ==========  ===========================
     bf16x3+exp2+x3 (default)    32.4        4.7e-4 (f32-grade)
-    stats_pass="bf16"           40.5        2.6e-3 (fastStats knob)
+    stats_pass="bf16nx"         37.4        4.7e-4 occ; S/F ~2e-3
+                                            (the fastStats knob)
+    stats_pass="bf16"           40.7        2.6e-3
     bf16 1-pass density         ~41         5.6e-2 (compute_dtype=bf16)
     ==========================  ==========  ===========================
 

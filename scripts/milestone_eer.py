@@ -101,9 +101,9 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--fast", action="store_true",
-                    help="fastStats tier: bf16 single-pass stat "
-                         "contraction (~2.6e-3 occupancy rounding) — "
-                         "run to show the EER is tier-invariant")
+                    help="fastStats tier (bf16nx: bf16 S/F sums with "
+                         "exact f32 occupancies, 4.7e-4) — run to show "
+                         "the EER is tier-invariant")
     args = ap.parse_args()
     p = SCALES[args.scale]
 

@@ -48,11 +48,11 @@ def main():
     w /= w.sum()
     means = rng.standard_normal((k, dim)).astype(np.float32) * 2
     cov = (rng.random((k, dim)) * 0.5 + 0.8).astype(np.float32)
-    ubm = GmmDiag.create(w, means, cov)
+    ubm = GmmDiag.from_cov(w, means, cov)
     ubm.save(os.path.join(d, "wld.gmm"))
     for m in range(args.n_models):
         off = rng.standard_normal((k, dim)).astype(np.float32) * 0.2
-        GmmDiag.create(w, means + off, cov).save(
+        GmmDiag.from_cov(w, means + off, cov).save(
             os.path.join(d, f"model{m}.gmm"), model_id=f"model{m}")
 
     t0 = time.perf_counter()

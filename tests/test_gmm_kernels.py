@@ -34,6 +34,15 @@ def random_gmm(rng, k, d):
     return GmmDiag.create(w, m, ci)
 
 
+import jax as _jax
+_ON_TPU = _jax.default_backend() in ("tpu", "axon")
+
+
+def _tol(cpu: float, tpu: float) -> float:
+    """Tight f32 guard on CPU; measured bf16x3 budget on the chip."""
+    return tpu if _ON_TPU else cpu
+
+
 def test_logdens_matches_naive(rng):
     k, d, n = 6, 5, 17
     gmm = random_gmm(rng, k, d)
@@ -43,10 +52,13 @@ def test_logdens_matches_naive(rng):
                         np.asarray(gmm.means), np.asarray(gmm.cov_inv))
     ref_llk = np.log(np.exp(ref - ref.max(1, keepdims=True)).sum(1)) + ref.max(1)
     # bf16x3-grade logits on TPU put ~1e-4 on these (f32-exact on CPU)
-    np.testing.assert_allclose(np.asarray(llk), ref_llk, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(llk), ref_llk,
+                               rtol=_tol(2e-5, 2e-4), atol=_tol(2e-5, 2e-4))
     ref_post = np.exp(ref - ref_llk[:, None])
-    np.testing.assert_allclose(np.asarray(post), ref_post, rtol=5e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(post).sum(1), 1.0, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(post), ref_post,
+                               rtol=_tol(1e-4, 5e-4), atol=_tol(1e-5, 1e-4))
+    np.testing.assert_allclose(np.asarray(post).sum(1), 1.0,
+                               rtol=_tol(1e-5, 2e-4))
 
 
 def test_em_stats_weighting(rng):

@@ -110,6 +110,7 @@ def test_batch_loader_reads_reference_fixtures():
     if out is None:
         import pytest
         pytest.skip("native library unavailable")
+    assert any(o is not None for o in out), "no fixture parsed natively"
     for p, o in zip(paths, out):
         ref = read_feature_file(p, fmt="SPRO4").data
         if o is None:     # SPRO3-headered fixture → python fallback path

@@ -91,8 +91,11 @@ def test_tett_shape_and_symmetry(rng):
     assert e.shape == (6, 3, 3)
     # the einsum computes (r,q) and (q,r) as separate bf16x3 dots on
     # TPU — symmetric only to the matmul budget (f32-exact on CPU)
+    import jax as _jax
+    tpu = _jax.default_backend() in ("tpu", "axon")
     np.testing.assert_allclose(e, np.swapaxes(e, 1, 2),
-                               rtol=1e-3, atol=1e-4)
+                               rtol=1e-3 if tpu else 1e-5,
+                               atol=1e-4 if tpu else 0)
 
 
 def test_em_recovers_subspace(rng):
