@@ -29,7 +29,12 @@ from ..io.features import write_feature_file
 from ..utils.shapes import FRAME_BUCKET, bucket_len, next_pow2
 from .common import load_features_and_mask, resolve_list, setup_verbose
 
-FILE_BATCH = 32           # files per device dispatch
+# Files per device dispatch.  Sized for the axon tunnel, where each
+# dispatch pays a ~130 ms round trip regardless of payload (measured
+# p50, scripts/profile_normfeat.py): 128 files × 640 frames × 39 dims
+# is still only ~12 MB, so fewer/larger dispatches are strictly better
+# until HBM pressure, which CMVN never approaches.
+FILE_BATCH = 128
 
 
 def _out_path(name: str, cfg: Config) -> str:

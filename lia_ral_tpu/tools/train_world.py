@@ -62,6 +62,14 @@ def main(cfg: Config) -> GmmDiag:
             print(f"init from scratch: {k} components"
                   + ("" if streaming else
                      f", {fs.nframes} frames ({int(mask.sum())} selected)"))
+    if cfg.exists("outputInitWorldFilename"):
+        # the reference saves the initial model for reproducible restart
+        # (TrainWorld.cpp:178); also the anchor the f64 parity oracle
+        # starts its EM from (scripts/oracle_parity.py)
+        init_name = cfg.get_str("outputInitWorldFilename")
+        init.save(mixture_path(init_name, cfg, save=True),
+                  fmt=cfg.get_str("saveMixtureFileFormat", "RAW"),
+                  model_id=init_name)
     if streaming:
         world = train_model_streaming(key, loader, init, tcfg,
                                       stats_fn=resolve_stats_fn(cfg),
