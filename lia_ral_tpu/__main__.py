@@ -51,6 +51,7 @@ TOOLS: dict[str, tuple[str, dict[str, str]]] = {
     "BNGram": ("utils_tools", {"utilMode": "bNgram"}),
     "LabelNGram": ("utils_tools", {"utilMode": "labelNgram"}),
     "SequenceDecode": ("utils_tools", {"utilMode": "sequenceDecode"}),
+    "SequenceExtractor": ("utils_tools", {"utilMode": "sequenceExtract"}),
     "LabelFusion": ("utils_tools", {"utilMode": "labelFusion"}),
     "TimeCluster": ("utils_tools", {"utilMode": "timeCluster"}),
     "SvmTrain": ("utils_tools", {"utilMode": "svmTrain"}),

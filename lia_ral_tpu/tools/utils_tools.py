@@ -227,16 +227,91 @@ def extract_params_main(cfg: Config):
 
 
 def poly_exp_main(cfg: Config):
+    """PolyExpand (PolyExpand.cpp:164-211).  Three modes driven by the
+    reference's own config keys (test fixture PolyExp/test/):
+      default     — per file, mean order-3 expansion over the selected
+                    frames, written per ``format`` (SVMLight: "exType
+                    1:v1 2:v2 ..." — outputInstanceSVMLight cpp:147-156)
+      computeR    — accumulate E[e²]/mean over ALL files (no per-file
+                    reset, cpp:193-207) and write "1/sqrt(E[e_i²])
+                    mean_i" lines to the ``computeR`` path (cpp:131-146)
+      normalize F — load the R file and multiply each output vector
+                    elementwise by its first column (cpp:118-122)"""
     names = resolve_list(cfg, "inputFeatureFilename")
+    compute_r = cfg.exists("computeR")
+    r_vec = None
+    if cfg.exists("normalize"):
+        rows = []
+        with open(cfg.get_str("normalize")) as f:
+            for line in f:
+                parts = line.split()
+                if parts:
+                    rows.append(float(parts[0]))
+        r_vec = np.asarray(rows, np.float64)
+    fmt = cfg.get_str("format", "matx")
+    ex_type = cfg.get_str("exType", "1")
+    vext = cfg.get_str("vectorFilesExtension", ".exp.vect")
     out = {}
+    acc_sum = acc_sq = acc_cnt = None
     for n in names:
         fs, mask = load_features_and_mask([n], cfg)
-        v = np.asarray(glds_expand_mean(jnp.asarray(fs.data),
-                                        jnp.asarray(mask)), np.float64)
-        write_matrix_file(os.path.join(cfg.get_str("vectorFilesPath", "./"),
-                                       n + ".exp.vect"), v[None, :])
+        e = np.asarray(poly_expand(jnp.asarray(fs.data)), np.float64)
+        m = np.asarray(mask, np.float64)
+        if compute_r:
+            # FrameAccGD over the whole list (reset only at the end)
+            if acc_sum is None:
+                acc_sum = np.zeros(e.shape[1])
+                acc_sq = np.zeros(e.shape[1])
+                acc_cnt = 0.0
+            acc_sum += (e * m[:, None]).sum(axis=0)
+            acc_sq += (e * e * m[:, None]).sum(axis=0)
+            acc_cnt += m.sum()
+            continue
+        v = (e * m[:, None]).sum(axis=0) / max(m.sum(), 1e-30)
+        if r_vec is not None:
+            v = v * r_vec
+        path = os.path.join(cfg.get_str("vectorFilesPath", "./"), n + vext)
+        if fmt == "SVMLight":
+            with open(path, "w") as f:
+                f.write(ex_type + " "
+                        + " ".join(f"{i + 1}:{x:g}" for i, x in enumerate(v))
+                        + " \n")
+        else:
+            write_matrix_file(path, v[None, :])
         out[n] = v
+    if compute_r:
+        mean = acc_sum / acc_cnt
+        r = 1.0 / np.sqrt(acc_sq / acc_cnt)      # computeRSqrt cpp:131-136
+        with open(cfg.get_str("computeR"), "w") as f:
+            for ri, mi in zip(r, mean):
+                f.write(f"{ri:g} {mi:g}\n")
+            f.write("\n")
+        out["R"] = np.stack([r, mean])
     return out
+
+
+def sequence_extract_main(cfg: Config):
+    """SequenceExtractor (SequenceExtractor.cpp:732-827): load ngram
+    files of order 1..maxOrder into a common-part tree, greedily carve
+    nbOutputSymb equal-probability variable-length sequences, save the
+    decoder tree + an info file (test fixture SequenceExtractor/test/
+    test1.sh drives exactly these keys)."""
+    from ..utils.seqtree import CommonPartTree, sequence_extractor
+    tree = CommonPartTree.from_ngram_files(
+        cfg.get_str("ngramFilename"), cfg.get_str("ngramExt", ".dta"),
+        cfg.get_int("maxOrder"), cfg.get_int("maxNgram", 1 << 30))
+    dec, info = sequence_extractor(
+        tree, cfg.get_int("nbInputSymb"), cfg.get_int("nbOutputSymb"),
+        equal_input_info=cfg.get_bool("equalInputInfo", False),
+        verbose=cfg.get_bool("verbose", False))
+    if cfg.exists("outputFilename"):
+        with open(cfg.get_str("outputFilename"), "w") as f:
+            dec.save(f)
+    if cfg.exists("outputInfoFilename"):
+        with open(cfg.get_str("outputInfoFilename"), "w") as f:
+            for seq_id, count in info:
+                f.write(f"{seq_id} {count}\n")
+    return dec, info
 
 
 def cov_intra_main(cfg: Config):
@@ -472,6 +547,7 @@ MODES = {
     "covIntra": cov_intra_main,
     "readFeatFile": read_feat_main, "readModel": read_model_main,
     "extractParams": extract_params_main, "polyExp": poly_exp_main,
+    "sequenceExtract": sequence_extract_main,
     "gmmTokenizer": gmm_tokenizer_main, "bNgram": bngram_main,
     "sequenceDecode": sequence_decode_main,
     "labelNgram": label_ngram_main,

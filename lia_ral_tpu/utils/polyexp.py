@@ -30,11 +30,12 @@ def _index_triples(d: int) -> np.ndarray:
 def poly_expand(x: jax.Array) -> jax.Array:
     """x (N, D) → (N, (D+3)(D+2)(D+1)/6) monomial expansion, batched.
 
-    NOTE: the reference writes the expansion in place over [1, f]
-    (PolyExpand.cpp:73-80), so monomials for i>0 read already-overwritten
-    slots; we reproduce the mathematical intent (products over the
-    original [1, f]) which matches for the leading D+1 slots and the
-    standard GLDS kernel definition.
+    The reference writes the expansion in place over [1, f]
+    (PolyExpand.cpp:73-80); that is value-preserving — every read hits
+    slots 0..D which the i=0 pass rewrites identically (1·1·e_k) before
+    any other slot is read — so this batched product over the original
+    [1, f] equals the reference output element-for-element, in its exact
+    i≤j≤k order.
     """
     n, d = x.shape
     aug = jnp.concatenate([jnp.ones((n, 1), x.dtype), x], axis=1)  # (N,D+1)

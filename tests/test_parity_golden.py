@@ -254,3 +254,141 @@ def test_energy_detector_reference_math_exact(tmp_path):
     # the tail quirk the golden exhibits (end one frame past the label)
     golden = read_label_file(os.path.join(ED, "test1.validate.enr.lbl"))
     assert golden[0].end == got[-1].end == 0.26
+
+
+# ---------------------------------------------------------------------------
+# Dormant reference fixtures (round-4: SequenceExtractor, PolyExp,
+# LabelNGram test/ dirs were never read by any test).  No golden outputs
+# are checked in for these tools, so the tests pin (a) exact format
+# compatibility with the real fixture files and (b) hand-derivable
+# behavioural invariants, plus regression-pinned outputs.
+
+SEQ = os.path.join(REFERENCE, "LIA_Utils/SequenceExtractor/test")
+POLY = os.path.join(REFERENCE, "LIA_Utils/PolyExp/test")
+LNG = os.path.join(REFERENCE, "LIA_Utils/LabelNGram/test")
+
+
+@requires_reference
+def test_sequence_extractor_fixture(tmp_path):
+    """Drive the real ngram1-3.dta per test1.sh's CLI args
+    (SequenceExtractor.cpp:732-827).  The unigrams are four symbols of
+    count 50 (total 200); with nbOutputSymb=4 the equal-probability
+    carve MUST give each output symbol exactly count 200/4=50 — a
+    hand-derivable invariant, not just a snapshot."""
+    from lia_ral_tpu.tools.utils_tools import sequence_extract_main
+    from lia_ral_tpu.utils.seqtree import CommonPartTree, SequenceDecoder
+
+    tree = CommonPartTree.from_ngram_files(
+        os.path.join(SEQ, "ngram"), ".dta", 3, 10000)
+    assert tree.total_child_count == 200    # 4 unigrams × count 50
+
+    cfg = Config({
+        "maxOrder": 3, "maxNgram": 10000, "nbInputSymb": 128,
+        "nbOutputSymb": 4,
+        "ngramFilename": os.path.join(SEQ, "ngram"), "ngramExt": ".dta",
+        "outputFilename": str(tmp_path / "output"),
+        "outputInfoFilename": str(tmp_path / "output.info"),
+    })
+    dec, info = sequence_extract_main(cfg)
+    assert info == [(0, 50), (1, 50), (2, 50), (3, 50)]
+    # decoder tree round-trips through the reference text format
+    saved = (tmp_path / "output").read_text()
+    with open(tmp_path / "output") as f:
+        dec2 = SequenceDecoder.load(f)
+    out2 = tmp_path / "output2"
+    with open(out2, "w") as f:
+        dec2.save(f)
+    assert out2.read_text() == saved
+    # the info file exists with one line per output symbol
+    lines = (tmp_path / "output.info").read_text().split()
+    assert len(lines) == 8
+
+
+@requires_reference
+def test_polyexp_fixture(tmp_path):
+    """Run PolyExpand.cfg verbatim on test1.prm (SPRO3 format,
+    featureServerMask 0-15,17-32 → 32 dims) through both test.sh passes
+    (--computeR then --normalize, PolyExpand.cpp:164-211)."""
+    from lia_ral_tpu.tools.utils_tools import poly_exp_main
+    from lia_ral_tpu.utils.polyexp import poly_expansion_size
+
+    base = Config.load(os.path.join(POLY, "PolyExpand.cfg"))
+    for k, v in {
+            "featureFilesPath": POLY + "/", "labelFilesPath": POLY + "/",
+            "lstPath": POLY + "/", "vectorFilesPath": str(tmp_path) + "/",
+            "inputFeatureFilename": os.path.join(POLY, "test.lst")}.items():
+        base[k] = v
+    assert base.get_str("loadFeatureFileFormat") == "SPRO3"
+
+    # pass 1: R accumulation over the list (cpp:201-207)
+    c1 = base.copy()
+    c1["computeR"] = str(tmp_path / "R.mat")
+    r = poly_exp_main(c1)["R"]
+    exp_size = poly_expansion_size(32)          # mask keeps 32 of 33 dims
+    assert r.shape == (2, exp_size) and exp_size == 6545
+    # constant term: E[1²]=1 → R=1, mean=1 (computeRSqrt cpp:131-136)
+    assert r[0, 0] == pytest.approx(1.0) and r[1, 0] == pytest.approx(1.0)
+    r_lines = [ln for ln in
+               (tmp_path / "R.mat").read_text().splitlines() if ln]
+    assert len(r_lines) == exp_size and len(r_lines[0].split()) == 2
+
+    # pass 2: normalized SVMLight vectors (cpp:147-156, exType 1)
+    c2 = base.copy()
+    c2["normalize"] = str(tmp_path / "R.mat")
+    v = poly_exp_main(c2)["test1"]
+    assert v.shape == (exp_size,)
+    assert v[0] == pytest.approx(1.0)           # 1 · R[0]
+    toks = (tmp_path / "test1.vect").read_text().split()
+    assert toks[0] == "1"                       # exType
+    assert toks[1].startswith("1:") and len(toks) == exp_size + 1
+    # normalized values have unit scale (z-ish norm by 1/sqrt(E[x²]))
+    assert np.all(np.abs(v) < 50)
+
+
+@requires_reference
+def test_label_ngram_fixture(tmp_path):
+    """Process the real test.sym (30994 symbols) with
+    codebook.16.3gram.des per config.cfg (LabelNGram.cpp:160-268)."""
+    from lia_ral_tpu.tools.utils_tools import label_ngram_main
+    from lia_ral_tpu.utils import read_ngram_codebook
+
+    codebook = read_ngram_codebook(
+        os.path.join(LNG, "codebook.16.3gram.des"), 3, 16)
+    assert len(codebook) == 16
+    assert codebook[0] == (0, 22, 0)            # top trigram, count 1928
+
+    def run(label_dir):
+        cfg = Config.load(os.path.join(LNG, "config.cfg"))
+        for k, v in {
+                "NGramFilename": os.path.join(LNG, "codebook.16.3gram.des"),
+                "NGramOrder": 3, "NGramSelected": 16, "inputFilename": "test",
+                "symbolPath": LNG + "/", "symbolFileExtension": ".sym",
+                "labelInputPath": str(label_dir) + "/",
+                "labelFileExtension": ".lbl",
+                "labelOutputPath": str(tmp_path) + "/",
+                "saveLabelFileExtension": ".sym.lbl"}.items():
+            cfg[k] = v
+        return label_ngram_main(cfg)
+
+    # fixture window 100.00-100.20 s decodes as oov against the top-16
+    # codebook (regression-pinned; frame convention per PARITY.md)
+    segs = run(LNG)
+    assert [(round(s.begin, 2), round(s.end, 2), s.label)
+            for s in segs] == [(100.0, 100.21, "oov")]
+
+    # a window covering an actual occurrence of the top codebook trigram
+    # must emit its 1-based codebook index as the label
+    from lia_ral_tpu.io.lists import read_simple_list
+    syms = [-1 if s == "oov" else int(s) for s in
+            read_simple_list(os.path.join(LNG, "test.sym"))]
+    runs, pos = [], []
+    for i, s in enumerate(syms):
+        if not runs or runs[-1] != s:
+            runs.append(s)
+            pos.append(i)
+    hit = next(j for j in range(len(runs) - 2)
+               if tuple(runs[j:j + 3]) == (0, 22, 0))
+    b, e = pos[hit], pos[hit + 3] if hit + 3 < len(pos) else len(syms)
+    (tmp_path / "test.lbl").write_text(f"{b * 0.01:.2f} {e * 0.01:.2f} x\n")
+    segs = run(tmp_path)
+    assert any(s.label == "1" for s in segs)    # codebook index 1 (1-based)
