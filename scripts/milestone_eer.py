@@ -58,8 +58,8 @@ SCALES = {
     "full": dict(k=2048, d=39, r=400, plda=150, n_spk=40, n_imp=12,
                  n_dev=250, sess=8, t_utt=1200, t_test=300, n_test=6,
                  bg=500_000, ubm_it=6, tv_it=5,
-                 spk_off=0.12, chan=0.45, chan_comp=0.18, noise=0.65,
-                 alpha=5.0),
+                 spk_off=0.08, chan=0.45, chan_comp=0.25, noise=0.65,
+                 alpha=8.0),
 }
 
 

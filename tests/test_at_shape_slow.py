@@ -161,3 +161,111 @@ def test_fused_vs_xla_stats_at_shape():
     # cross-path budget as above: two ~5e-4 f32-grade approximations
     assert np.max(np.abs(np.asarray(nf[0]) - np.asarray(n0))
                   / (np.asarray(n0) + 1e-9)) < 2e-3
+
+
+# ---------------------------------------------------------------------------
+# Sharded == serial AT MILESTONE SHAPES (round-4: the unit-tier
+# equivalents run at toy shapes; these pin multi-chip correctness at the
+# BASELINE.md config shapes on the 8-virtual-device CPU mesh).
+
+def test_sharded_tv_e_step_equals_serial_at_shape(rng_seed=7):
+    """Speaker-sharded TV E-step == serial at K=2048/D=39/R=400
+    (threaded estimateAandC merge, AccumulateTVStat.cpp:1944)."""
+    from lia_ral_tpu.fa.stats import BwStats
+    from lia_ral_tpu.fa.tv import init_t, tv_e_step
+    from lia_ral_tpu.parallel import make_mesh
+    from lia_ral_tpu.parallel.sharding import sharded_tv_e_step
+
+    rng = np.random.default_rng(rng_seed)
+    gmm = _synth_tv_world(rng)
+    model = init_t(jax.random.key(0), R, gmm)
+    s = 16
+    stats = BwStats(
+        n=jnp.asarray(rng.random((s, K)) * 30 + 1, jnp.float32),
+        f=jnp.asarray(rng.standard_normal((s, K, D)) * 5, jnp.float32))
+    mesh = make_mesh()
+    w_ser, acc_ser = tv_e_step(stats, model, chunk=8)
+    w_sh, acc_sh = sharded_tv_e_step(mesh, stats, model, chunk=2)
+    np.testing.assert_allclose(np.asarray(w_sh), np.asarray(w_ser),
+                               rtol=5e-3, atol=5e-3)
+    for a, b in zip(jax.tree.leaves(acc_ser), jax.tree.leaves(acc_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_sharded_jfa_v_equals_serial_at_shape():
+    """Speaker-sharded JFA V iteration == serial at K=512/D=39/rv=300
+    (config 4; threaded estimateVEVT/estimateYandV merge,
+    AccumulateJFAStat.cpp:1255/2457)."""
+    from lia_ral_tpu.fa.jfa import JfaModel, JfaStats, jfa_v_iteration
+    from lia_ral_tpu.fa.stats import BwStats
+    from lia_ral_tpu.parallel import make_mesh
+    from lia_ral_tpu.parallel.sharding import sharded_jfa_v_iteration
+
+    rng = np.random.default_rng(11)
+    k, d, rv, ru = 512, 39, 300, 100
+    gmm = _synth_tv_world(rng, k=k, d=d)
+    model = JfaModel.init(jax.random.key(1), rv, ru, gmm, scale=0.1)
+    s, sess_per = 16, 2
+    h = s * sess_per
+    spk = BwStats(
+        n=jnp.asarray(rng.random((s, k)) * 40 + 2, jnp.float32),
+        f=jnp.asarray(rng.standard_normal((s, k, d)) * 5, jnp.float32))
+    sess = BwStats(
+        n=jnp.asarray(np.repeat(np.asarray(spk.n), sess_per, 0) / sess_per,
+                      jnp.float32),
+        f=jnp.asarray(np.repeat(np.asarray(spk.f), sess_per, 0) / sess_per,
+                      jnp.float32))
+    stats = JfaStats(spk=spk, sess=sess,
+                     sess_spk=jnp.asarray(
+                         np.repeat(np.arange(s), sess_per), jnp.int32))
+    x = jnp.asarray(rng.standard_normal((h, ru)), jnp.float32) * 0.1
+    z = jnp.zeros_like(spk.f)
+    mesh = make_mesh()
+    mv_ser, y_ser = jfa_v_iteration(stats, model, x, z)
+    mv_shd, y_shd = sharded_jfa_v_iteration(mesh, stats, model, x, z)
+    # tolerance = the measured f32 reduction-order noise FLOOR at this
+    # shape: serial vs speaker/session-permuted serial deviates by up to
+    # 6.2e-3 max / 1.3e-4 mean on V (one-off diagnostic, r4) — the
+    # sharded path's 5.8e-3 max is within the serial computation's own
+    # order noise, so anything tighter would fail serial-vs-serial too
+    dv = np.abs(np.asarray(mv_shd.v) - np.asarray(mv_ser.v))
+    assert dv.max() < 1e-2 and dv.mean() < 5e-4
+    dy = np.abs(np.asarray(y_shd) - np.asarray(y_ser))
+    assert dy.max() < 1e-2 and dy.mean() < 1e-3
+
+
+def test_sharded_plda_em_equals_serial_at_shape():
+    """Session-sharded PLDA EM + model-sharded scoring == serial at
+    R=400/rank-150 with 512 dev sessions (config 5; threaded
+    getExpectedValues / pldaScoring merge, PldaTools.cpp:2647/4061)."""
+    from lia_ral_tpu.backend.ivnorm import DevSet
+    from lia_ral_tpu.backend.plda import (PldaModel, plda_em_iteration,
+                                          plda_llr)
+    from lia_ral_tpu.parallel import make_mesh
+    from lia_ral_tpu.parallel.sharding import (sharded_plda_em_iteration,
+                                               sharded_plda_llr)
+
+    rng = np.random.default_rng(13)
+    r, rf, n_spk, sess = 400, 150, 128, 4
+    h = rng.standard_normal((n_spk, rf))
+    f_true = rng.standard_normal((r, rf)) * 0.5
+    vecs = (np.repeat(h, sess, 0) @ f_true.T
+            + rng.standard_normal((n_spk * sess, r)) * 0.4)
+    labels = [f"s{i // sess}" for i in range(n_spk * sess)]
+    dev = DevSet.from_labels(vecs.astype(np.float32), labels)
+    model = PldaModel.init(jax.random.key(2), r, rf, 0,
+                           data_mean=vecs.mean(0),
+                           data_cov=np.cov(vecs.T))
+    mesh = make_mesh()
+    ser = plda_em_iteration(model, dev)
+    shd = sharded_plda_em_iteration(mesh, model, dev)
+    for a, b in zip(jax.tree.leaves(shd), jax.tree.leaves(ser)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+    enroll = jnp.asarray(rng.standard_normal((40, r)), jnp.float32)
+    ns = jnp.asarray(rng.integers(1, 4, 40), jnp.float32)
+    test = jnp.asarray(rng.standard_normal((64, r)), jnp.float32)
+    s_ser = np.asarray(plda_llr(ser, enroll, ns, test))
+    s_shd = np.asarray(sharded_plda_llr(mesh, ser, enroll, ns, test))
+    np.testing.assert_allclose(s_shd, s_ser, rtol=5e-3, atol=5e-3)
