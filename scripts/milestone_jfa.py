@@ -56,10 +56,19 @@ def gen_corpus(d, p, rng):
     v_true = rng.standard_normal((p["rv"], k, dim)) * 0.6
     u_true = rng.standard_normal((p["ru"], k, dim)) * 0.35
 
-    def utt(y, n):
+    vy_cache: dict[int, np.ndarray] = {}
+
+    def utt(y, n, spk_id=None):
+        # V·y is per-speaker — cache it (the per-utterance einsum was
+        # ~2.3 GFlop at full scale × 2000 dev utterances of host numpy)
+        if spk_id is not None and spk_id in vy_cache:
+            vy = vy_cache[spk_id]
+        else:
+            vy = np.einsum("r,rkd->kd", y, v_true)
+            if spk_id is not None:
+                vy_cache[spk_id] = vy
         x_h = rng.standard_normal(p["ru"])
-        shift = (np.einsum("r,rkd->kd", y, v_true)
-                 + np.einsum("r,rkd->kd", x_h, u_true))
+        shift = vy + np.einsum("r,rkd->kd", x_h, u_true)
         comp = rng.choice(k, size=n, p=w)
         x = ((means + shift)[comp]
              + rng.standard_normal((n, dim)) * np.sqrt(cov)[comp])
@@ -72,7 +81,8 @@ def gen_corpus(d, p, rng):
         for j in range(p["sess"]):
             nm = f"dev_s{s}_{j}"
             write_feature_file(os.path.join(d, nm + ".prm"),
-                               utt(ys[s], p["t_utt"]), fmt="SPRO4")
+                               utt(ys[s], p["t_utt"], spk_id=s),
+                               fmt="SPRO4")
             names["dev"].append((f"dev{s}", nm))
     for i in range(p["n_spk"] + p["n_imp"]):
         s = p["n_dev"] + i
@@ -81,14 +91,16 @@ def gen_corpus(d, p, rng):
         for j in range(2):                      # two enrollment sessions
             nm = f"enr_{tag}_{j}"
             write_feature_file(os.path.join(d, nm + ".prm"),
-                               utt(ys[s], p["t_utt"]), fmt="SPRO4")
+                               utt(ys[s], p["t_utt"], spk_id=s),
+                               fmt="SPRO4")
             rows.append(nm)
         names["enroll"].append((tag, rows))
         if i < p["n_spk"]:                      # two test sessions each
             for j in range(2):
                 nm = f"test_s{i}_{j}"
                 write_feature_file(os.path.join(d, nm + ".prm"),
-                                   utt(ys[s], p["t_utt"] // 2), fmt="SPRO4")
+                                   utt(ys[s], p["t_utt"] // 2, spk_id=s),
+                                   fmt="SPRO4")
                 names["test"].append((i, nm))
     return ubm, names
 
@@ -101,8 +113,23 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) — the axon "
                          "sitecustomize pins the TPU otherwise")
+    # --- ablation knobs (round-4 root-cause of the full-scale gap) ---
+    ap.add_argument("--noD", action="store_true",
+                    help="skip EstimateDMatrix; enroll with V·y only")
+    ap.add_argument("--scoring", default="jfa", choices=["jfa", "dot"],
+                    help="jfa = channel-compensated frame LLR "
+                         "(ComputeTest.cpp:376); dot = supervector "
+                         "dot-product (cpp:228)")
+    ap.add_argument("--itv", type=int, default=None,
+                    help="override V EM iterations")
+    ap.add_argument("--ndev", type=int, default=None,
+                    help="override dev speaker count")
     args = ap.parse_args()
-    p = SCALES[args.scale]
+    p = dict(SCALES[args.scale])
+    if args.itv is not None:
+        p["it_v"] = args.itv
+    if args.ndev is not None:
+        p["n_dev"] = args.ndev
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
@@ -169,15 +196,16 @@ def main():
         cfg["eigenChannelMatrix"] = "EC"
         jfa_tools.eigen_channel_main(cfg)
 
-    with stage("estimate_d"):
-        cfg = Config(base)
-        cfg["ndxFilename"] = os.path.join(d, "dev.ndx")
-        cfg["loadAccs"] = "true"
-        cfg["eigenVoiceMatrix"] = "EV"
-        cfg["eigenChannelMatrix"] = "EC"
-        cfg["nbIt"] = p["it_d"]
-        cfg["DMatrix"] = "D"
-        jfa_tools.estimate_d_matrix_main(cfg)
+    if not args.noD:
+        with stage("estimate_d"):
+            cfg = Config(base)
+            cfg["ndxFilename"] = os.path.join(d, "dev.ndx")
+            cfg["loadAccs"] = "true"
+            cfg["eigenVoiceMatrix"] = "EV"
+            cfg["eigenChannelMatrix"] = "EC"
+            cfg["nbIt"] = p["it_d"]
+            cfg["DMatrix"] = "D"
+            jfa_tools.estimate_d_matrix_main(cfg)
 
     with stage("train_target_jfa"):
         write_xlist(os.path.join(d, "targets.ndx"),
@@ -187,7 +215,8 @@ def main():
         cfg["channelCompensation"] = "JFA"
         cfg["eigenVoiceMatrix"] = "EV"
         cfg["eigenChannelMatrix"] = "EC"
-        cfg["DMatrix"] = "D"
+        if not args.noD:
+            cfg["DMatrix"] = "D"
         train_target.main(cfg)
 
     tgt_models = [t for t, _ in names["enroll"]]
@@ -196,13 +225,16 @@ def main():
         write_xlist(os.path.join(d, "trials.ndx"),
                     [[t] + tgt_models for t in test_segs])
         cfg = Config(base)
-        cfg["computeTestMode"] = "jfa"
         cfg["ndxFilename"] = os.path.join(d, "trials.ndx")
-        cfg["eigenChannelMatrix"] = "EC"
         cfg["outputFilename"] = os.path.join(d, "scores_jfa.nist")
         cfg["gender"] = "M"
-        cfg["topDistribsCount"] = 10
         cfg["maxTargetLine"] = 1000
+        if args.scoring == "dot":
+            cfg["computeTestMode"] = "dotProduct"
+        else:
+            cfg["computeTestMode"] = "jfa"
+            cfg["eigenChannelMatrix"] = "EC"
+            cfg["topDistribsCount"] = 10
         lines = compute_test.main(cfg)
 
     tgt, imp = [], []
@@ -214,7 +246,12 @@ def main():
 
     import jax
     summary = {
-        "milestone": f"config 4 JFA end-to-end ({args.scale})",
+        "milestone": (f"config 4 JFA end-to-end ({args.scale}"
+                      + (", noD" if args.noD else "")
+                      + (f", scoring={args.scoring}"
+                         if args.scoring != "jfa" else "")
+                      + (f", itv={args.itv}" if args.itv else "")
+                      + (f", ndev={args.ndev}" if args.ndev else "") + ")"),
         "platform": str(jax.devices()[0]),
         "shapes": {"K": p["k"], "D": p["d"], "rank_v": p["rv"],
                    "rank_u": p["ru"], "n_targets": p["n_spk"],
