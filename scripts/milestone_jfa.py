@@ -34,8 +34,14 @@ SCALES = {
     # the V estimate needs dev speakers >> rank_v (a 300-dim eigenvoice
     # space cannot be spanned by 120 speakers — the first full run at
     # n_dev=120 scored EER 0.3 from the rank-deficient V)
+    # v_base/u_base: per-dim TOTAL shift std = 4*v_base (speaker) /
+    # 2.83*u_base (channel) after rank normalisation in gen_corpus;
+    # full is hardened (weak speaker, strong channel, 300-frame tests)
+    # so EER grades quality — the rank-normalised corpus at the small
+    # scale's 0.6/0.35 anchors saturates at EER 0.0
     "full": dict(k=512, d=39, rv=300, ru=100, n_dev=500, n_spk=40, n_imp=10,
-                 sess=4, t_utt=1200, it_v=10, it_u=8, it_d=4),
+                 sess=4, t_utt=1200, it_v=10, it_u=8, it_d=4,
+                 v_base=0.15, u_base=0.9, t_test=300),
 }
 
 
@@ -53,8 +59,20 @@ def gen_corpus(d, p, rng):
     cov = rng.random((k, dim)) * 0.5 + 0.8
     ubm = GmmDiag.create(w, means.astype(np.float32), cov.astype(np.float32))
 
-    v_true = rng.standard_normal((p["rv"], k, dim)) * 0.6
-    u_true = rng.standard_normal((p["ru"], k, dim)) * 0.35
+    # per-ELEMENT scales normalised by rank so the TOTAL speaker/channel
+    # shift variance is rank-invariant: at rv the per-dim shift std is
+    # scale*sqrt(rv).  r4 root-cause of the full-scale gap: the
+    # unnormalised 0.6 gave shift std 0.6*sqrt(300) = 10.4 at rv=300 —
+    # speaker offsets dwarfed the UBM (means +-2, cov ~1), the corpus
+    # was degenerate (impostor LLRs averaged +12), and no estimator
+    # knob (D on/off, scoring mode, it_v, n_dev) moved EER off ~5%.
+    # Anchored to the small-scale values (rv=16/ru=8) that behave.
+    v_base = p.get("v_base", 0.6)
+    u_base = p.get("u_base", 0.35)
+    v_true = (rng.standard_normal((p["rv"], k, dim))
+              * v_base * np.sqrt(16.0 / p["rv"]))
+    u_true = (rng.standard_normal((p["ru"], k, dim))
+              * u_base * np.sqrt(8.0 / p["ru"]))
 
     vy_cache: dict[int, np.ndarray] = {}
 
@@ -99,7 +117,8 @@ def gen_corpus(d, p, rng):
             for j in range(2):
                 nm = f"test_s{i}_{j}"
                 write_feature_file(os.path.join(d, nm + ".prm"),
-                                   utt(ys[s], p["t_utt"] // 2, spk_id=s),
+                                   utt(ys[s], p.get("t_test", p["t_utt"] // 2),
+                                       spk_id=s),
                                    fmt="SPRO4")
                 names["test"].append((i, nm))
     return ubm, names
