@@ -44,18 +44,40 @@ TEST_LENS = [1.0, 3.0, 5.0, 10.0]
 TESTS_PER_LEN = 2          # per target speaker per length
 
 
-def voice(rng, formants, tilt, seconds):
-    """Coloured noise with Gaussian spectral bumps at the speaker's
-    formants and a session tilt — synthesised in the FFT domain."""
+def voice(rng, phonemes, tilt, seconds):
+    """Speech-like synthetic voice: a sequence of 60-200 ms 'phoneme'
+    segments, each coloured noise shaped by that phoneme's formant
+    bumps, with a session spectral tilt, amplitude-modulated into
+    bursts with near-silent pauses (so the energy VAD has real work).
+
+    NON-stationarity is load-bearing: the serving path applies 0/1 CMVN
+    (normalizeFeatures, SimpleSpkDetSystem.cpp:392), which deletes the
+    per-utterance MFCC mean/scale — a stationary voice loses its whole
+    identity there.  A speaker-specific PHONEME INVENTORY puts identity
+    in the multimodal frame distribution, which CMVN preserves."""
     n = int(seconds * SR)
-    spec = np.fft.rfft(rng.standard_normal(n))
-    f = np.fft.rfftfreq(n, 1.0 / SR)
-    env = 0.05 + sum(np.exp(-0.5 * ((f - f0) / bw) ** 2)
-                     for f0, bw in formants)
-    env = env * np.exp(tilt * (f / (SR / 2)))
-    sig = np.fft.irfft(spec * env, n)
+    sig = np.zeros(n, np.float32)
+    t = 0
+    while t < n:
+        seg = int(rng.uniform(0.06, 0.2) * SR)
+        seg = min(seg, n - t)
+        formants = phonemes[rng.integers(len(phonemes))]
+        spec = np.fft.rfft(rng.standard_normal(seg))
+        f = np.fft.rfftfreq(seg, 1.0 / SR)
+        env = 0.05 + sum(np.exp(-0.5 * ((f - f0) / bw) ** 2)
+                         for f0, bw in formants)
+        env = env * np.exp(tilt * (f / (SR / 2)))
+        sig[t:t + seg] = np.fft.irfft(spec * env, seg)
+        t += seg
     sig = sig / (np.abs(sig).max() + 1e-9) * 0.5
-    return sig.astype(np.float32)
+    # burst envelope: ~0.3-0.8 s speech, ~0.1-0.3 s pause (20 dB down)
+    gate = np.full(n, 0.1, np.float32)
+    t = 0
+    while t < n:
+        on = int(rng.uniform(0.3, 0.8) * SR)
+        gate[t:t + on] = 1.0
+        t += on + int(rng.uniform(0.1, 0.3) * SR)
+    return (sig * gate).astype(np.float32)
 
 
 def main():
@@ -79,7 +101,9 @@ def main():
                 (rng.uniform(900, 2200), rng.uniform(120, 260)),
                 (rng.uniform(2200, 3600), rng.uniform(180, 400))]
 
-    speakers = [spk_formants() for _ in range(N_SPK + N_IMP)]
+    # each speaker = an inventory of 6 phoneme formant-sets
+    speakers = [[spk_formants() for _ in range(6)]
+                for _ in range(N_SPK + N_IMP)]
 
     def utt(spk, seconds):
         return voice(rng, speakers[spk], rng.uniform(-1.0, 1.0), seconds)
@@ -90,7 +114,7 @@ def main():
     t0 = time.perf_counter()
     for s in range(N_SPK + N_IMP):
         sysm.add_audio(utt(s, 4.0))
-    sysm.normalize_features(energy_column=0)
+    sysm.normalize_features(energy_column=19)
     x = sysm.features
     import jax.numpy as jnp
     tcfg = TrainCfg(nb_train_it=4, bagged_frame_probability=1.0,
@@ -106,7 +130,7 @@ def main():
     t0 = time.perf_counter()
     for s in range(N_SPK + N_IMP):
         sysm.add_audio(utt(s, ENROLL_S))
-        sysm.normalize_features(energy_column=0)
+        sysm.normalize_features(energy_column=19)
         sysm.create_speaker_model(f"spk{s}")
         sysm.reset_features()
     t_enroll = time.perf_counter() - t0
@@ -119,7 +143,7 @@ def main():
         for s in range(N_SPK):
             for _ in range(TESTS_PER_LEN):
                 sysm.add_audio(utt(s, L))
-                sysm.normalize_features(energy_column=0)
+                sysm.normalize_features(energy_column=19)
                 for uid in [f"spk{s}"] + [
                         f"spk{N_SPK + j}" for j in
                         rng.choice(N_IMP, 3, replace=False)]:
