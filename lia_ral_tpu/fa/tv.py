@@ -237,13 +237,98 @@ def tv_em_iteration(stats: BwStats, model: TvModel, chunk: int = 64,
     return new_model, w
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def estimate_w(stats: BwStats, model: TvModel, chunk: int = 256
-               ) -> jax.Array:
+def _pcg_basis(tett: jax.Array, n_ref: jax.Array, k_chunk: int = 256):
+    """Preconditioner basis for the per-utterance L-solves.
+
+    Q = eigenvectors of the reference-occupancy-weighted Σ_k n̄_k·E_k
+    (an (R,R) eigh — one per estimate_w call), and D(k,i) = (Qᵀ E_k Q)_ii
+    — the same quantities as the reference's eigenDecomposition
+    APPROXIMATION (AccumulateTVStat.cpp:2556/3106), reused here as a
+    PRECONDITIONER so the solve stays EXACT.  D is built in K-chunks so
+    the (chunk,R,R) rotate intermediate stays ~160 MB, streaming the
+    (K,R,R) tett once."""
+    k, r, _ = tett.shape
+    m = jnp.tensordot(n_ref / jnp.maximum(jnp.sum(n_ref), 1e-30), tett,
+                      axes=1)                                   # (R,R)
+    _, q = jnp.linalg.eigh(m)
+    pad = (-k) % k_chunk
+    t_p = jnp.concatenate(
+        [tett, jnp.zeros((pad, r, r), tett.dtype)]) if pad else tett
+
+    def chunk_diag(tc):
+        tq = jnp.einsum("krq,qi->kri", tc, q,
+                        preferred_element_type=jnp.float32)
+        return jnp.einsum("ri,kri->ki", q, tq,
+                          preferred_element_type=jnp.float32)
+
+    dk = jax.lax.map(chunk_diag, t_p.reshape(-1, k_chunk, r, r))
+    return q, dk.reshape(-1, r)[:k]                             # (R,R),(K,R)
+
+
+def _posterior_mean_pcg(n_blk, fbar_blk, model: TvModel, tett, tn_flat,
+                        q, dk, iters: int):
+    """w = L⁻¹·aux via preconditioned conjugate gradients.
+
+    L is SPD and, preconditioned by the per-utterance diagonal
+    1/(1 + n·D) in the fixed Q basis, near-perfectly conditioned
+    (measured κ ≈ 1.6 at K=2048/R=400 on 2000-frame occupancies):
+    convergence to f32 roundoff in ~10 iterations; ``iters`` fixed so
+    the loop is jit-static.  Each iteration is one bandwidth-bound
+    (B,R,R)·(B,R) matvec — 5x faster than the batched Cholesky at
+    B=512/R=400 (14.7 vs 72.7 ms measured on-chip, PERF.md §2).
+    Padding rows (n=0) give L=I, aux=0 → x=0 exactly."""
+    r = model.rank
+    b, k = n_blk.shape
+    eye = jnp.eye(r, dtype=n_blk.dtype)
+    l_mat = eye[None] + jnp.dot(
+        n_blk, tett.reshape(k, r * r),
+        preferred_element_type=jnp.float32).reshape(b, r, r)
+    aux = jnp.dot(fbar_blk.reshape(b, -1), tn_flat.T,
+                  preferred_element_type=jnp.float32)           # (B,R)
+    dinv = 1.0 / (1.0 + jnp.dot(n_blk, dk,
+                                preferred_element_type=jnp.float32))
+
+    def m_inv(v):
+        return ((v @ q) * dinv) @ q.T
+
+    x = jnp.zeros_like(aux)
+    res = aux
+    z = m_inv(res)
+    p = z
+    rz = jnp.sum(res * z, axis=1, keepdims=True)
+
+    def body(_, st):
+        x, res, p, rz = st
+        ap = jnp.einsum("brq,bq->br", l_mat, p,
+                        preferred_element_type=jnp.float32)
+        alpha = rz / jnp.maximum(jnp.sum(p * ap, axis=1, keepdims=True),
+                                 1e-30)
+        x = x + alpha * p
+        res = res - alpha * ap
+        z = m_inv(res)
+        rz2 = jnp.sum(res * z, axis=1, keepdims=True)
+        p = z + (rz2 / jnp.maximum(rz, 1e-30)) * p
+        return x, res, p, rz2
+
+    x, res, p, rz = jax.lax.fori_loop(0, iters, body, (x, res, p, rz))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "solver",
+                                             "pcg_iters"))
+def estimate_w(stats: BwStats, model: TvModel, chunk: int = 256,
+               solver: str = "pcg", pcg_iters: int = 20) -> jax.Array:
     """Exact i-vector extraction: w = L⁻¹ T Σ⁻¹ F̄ per utterance
     (reference estimateW, cpp:2103-2267).  ``chunk`` bounds the live
     (B,R,R) solve block; 256 amortises the per-block tett stream
-    (PERF.md §2)."""
+    (PERF.md §2).
+
+    ``solver``: "pcg" (default) solves the SPD systems by
+    eigendecomposition-preconditioned conjugate gradients — exact to
+    f32 roundoff (max dev 4.9e-7 vs the Cholesky path at milestone
+    shapes, residual ≤ 1e-10 at ``pcg_iters=20``; tests pin both) and
+    ~3x faster end-to-end; "cholesky" keeps the batched-factorisation
+    path (the E-step always uses it — it needs the full L⁻¹)."""
     s, k = stats.n.shape
     d = model.dim
     tett = estimate_tett(model)
@@ -252,10 +337,19 @@ def estimate_w(stats: BwStats, model: TvModel, chunk: int = 256
     pad = (-s) % chunk
     n_p = jnp.concatenate([stats.n, jnp.zeros((pad, k), stats.n.dtype)])
     f_p = jnp.concatenate([fbar, jnp.zeros((pad, k, d), fbar.dtype)])
+    if solver == "pcg":
+        q, dk = _pcg_basis(tett, jnp.mean(stats.n, axis=0))
 
-    def block(blk):
-        n_blk, f_blk = blk
-        return _posterior_mean(n_blk, f_blk, model, tett, tn_flat)
+        def block(blk):
+            n_blk, f_blk = blk
+            return _posterior_mean_pcg(n_blk, f_blk, model, tett, tn_flat,
+                                       q, dk, pcg_iters)
+    elif solver == "cholesky":
+        def block(blk):
+            n_blk, f_blk = blk
+            return _posterior_mean(n_blk, f_blk, model, tett, tn_flat)
+    else:
+        raise ValueError(f"unknown estimate_w solver {solver}")
 
     w = jax.lax.map(block, (n_p.reshape(-1, chunk, k),
                             f_p.reshape(-1, chunk, k, d)))

@@ -269,3 +269,24 @@ def test_sharded_plda_em_equals_serial_at_shape():
     s_ser = np.asarray(plda_llr(ser, enroll, ns, test))
     s_shd = np.asarray(sharded_plda_llr(mesh, ser, enroll, ns, test))
     np.testing.assert_allclose(s_shd, s_ser, rtol=5e-3, atol=5e-3)
+
+
+def test_estimate_w_pcg_equals_cholesky_at_shape():
+    """PCG vs Cholesky extraction at K=2048/D=39/R=400 (the shape whose
+    conditioning the preconditioner was designed for): f32-roundoff
+    agreement, measured 4.9e-7 max rel in the design study."""
+    from lia_ral_tpu.fa.stats import BwStats
+    from lia_ral_tpu.fa.tv import estimate_w, init_t
+
+    rng = np.random.default_rng(17)
+    gmm = _synth_tv_world(rng)
+    model = init_t(jax.random.key(5), R, gmm)
+    s = 24
+    stats = BwStats(
+        n=jnp.asarray(rng.random((s, K)) * 2.0, jnp.float32),
+        f=jnp.asarray(rng.standard_normal((s, K, D)) * 3, jnp.float32))
+    w_pcg = np.asarray(estimate_w(stats, model, chunk=8, solver="pcg"))
+    w_chol = np.asarray(estimate_w(stats, model, chunk=8,
+                                   solver="cholesky"))
+    scale = np.abs(w_chol).max()
+    assert np.abs(w_pcg - w_chol).max() / scale < 1e-4

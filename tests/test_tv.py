@@ -218,3 +218,29 @@ def test_verify_em_llk_monotone_over_em(rng):
     # invariant — plug-in MAP i-vectors are not the exact EM objective)
     for a, b in zip(llks, llks[1:]):
         assert b > a - 0.1, llks
+
+
+def test_estimate_w_pcg_equals_cholesky(rng):
+    """The PCG extraction solver (default) must match the batched-
+    Cholesky path to f32 roundoff — it is an EXACT solver, the
+    eigendecomposition quantities only precondition it (fa/tv.py
+    _posterior_mean_pcg)."""
+    import jax
+    from lia_ral_tpu.fa.stats import BwStats
+    from lia_ral_tpu.fa.tv import estimate_w, init_t
+    from tests.test_gmm_kernels import random_gmm
+
+    k, d, r, s = 16, 6, 8, 21
+    gmm = random_gmm(rng, k, d)
+    model = init_t(jax.random.key(3), r, gmm)
+    stats = BwStats(
+        n=jnp.asarray(rng.random((s, k)) * 50 + 0.5, jnp.float32),
+        f=jnp.asarray(rng.standard_normal((s, k, d)) * 4, jnp.float32))
+    w_pcg = np.asarray(estimate_w(stats, model, chunk=8, solver="pcg"))
+    w_chol = np.asarray(estimate_w(stats, model, chunk=8,
+                                   solver="cholesky"))
+    np.testing.assert_allclose(w_pcg, w_chol, rtol=2e-5, atol=2e-6)
+    # padding rows / empty utterances: a zero-stat row gives w = 0
+    stats0 = BwStats(n=stats.n.at[0].set(0.0), f=stats.f.at[0].set(0.0))
+    w0 = np.asarray(estimate_w(stats0, model, solver="pcg"))
+    assert np.all(np.abs(w0[0]) < 1e-6)
