@@ -45,8 +45,13 @@ def main(cfg: Config) -> dict[str, np.ndarray]:
         stats, names = accumulate_stats_from_ndx(cfg, gmm, verbose)
     mode = cfg.get_str("ivExtractionMode", "exact")
     if mode == "exact":
+        # ivSolver: "pcg" (default — eigendecomposition-PRECONDITIONED
+        # conjugate gradients, exact to f32 roundoff, ~3x the batched
+        # Cholesky, PERF.md §7) or "cholesky"
         w = estimate_w(stats, model,
-                       chunk=cfg.get_int("speakerChunk", 256))
+                       chunk=cfg.get_int("speakerChunk", 256),
+                       solver=cfg.get_str("ivSolver", "pcg"),
+                       pcg_iters=cfg.get_int("ivSolverPcgIterations", 20))
     elif mode == "ubmWeight":
         # On CPU the reference uses this to dodge per-utterance L-inversion
         # (IvExtractor.cpp:151); on TPU the exact batched-Cholesky path is
