@@ -180,6 +180,7 @@ def e_hmm_segmentation(
     min_duration: int = 50,
     frame_length: float = 0.01,
     seed: int = 0,
+    map_reg: float = 16.0,
     verbose: bool = False,
 ):
     """E-HMM speaker segmentation (reference Segmentation.cpp:356-484).
@@ -205,8 +206,13 @@ def e_hmm_segmentation(
         return jnp.log(jnp.asarray(t, jnp.float32))
 
     def adapt(masks_np: np.ndarray, k) -> GmmDiag:
+        # map_reg is the reference's MAPRegFactor reaching segAdaptation
+        # (Tools.cpp:1276); a seed of init_seg_frames frames over K
+        # components moves its means only occ/(occ+r) per iteration, so
+        # strong priors can starve new speakers of any Viterbi frames
         return _batched_state_adapt(jax.random.split(k, s_max), xj,
-                                    jnp.asarray(masks_np), world)
+                                    jnp.asarray(masks_np), world,
+                                    map_reg=map_reg)
 
     # state 0 trained on all frames (reference addSpeaker on L0 world)
     masks = np.zeros((s_max, n), np.float32)
@@ -272,6 +278,7 @@ def resegmentation(
     min_state_frames: int = 25,
     frame_length: float = 0.01,
     seed: int = 0,
+    map_reg: float = 16.0,
 ):
     """Refinement pass (reference ReSegmentation.cpp:245-328): rebuild the
     HMM from an existing segmentation, MAP-adapt state models, Viterbi
@@ -289,7 +296,7 @@ def resegmentation(
         for nm in names])                                   # (S, N)
     key, k0 = jax.random.split(key)
     bank = _batched_state_adapt(jax.random.split(k0, s), xj,
-                                jnp.asarray(masks), world)
+                                jnp.asarray(masks), world, map_reg=map_reg)
     # static (S,)-shaped state bank + activity mask: dropped speakers get
     # −1e30 emissions instead of a shape change, so the nb_it loop reuses
     # one compiled executable per kernel
@@ -316,7 +323,7 @@ def resegmentation(
         key, kk = jax.random.split(key)
         bank = _batched_state_adapt(jax.random.split(kk, s), xj,
                                     jnp.asarray(masks * active[:, None]),
-                                    world)
+                                    world, map_reg=map_reg)
     em = _masked_emissions(xj, bank, jnp.asarray(active, jnp.float32))
     path = np.asarray(_viterbi(em, log_trans(active)))
     return path_to_segments(path, names, frame_length, min_duration), path

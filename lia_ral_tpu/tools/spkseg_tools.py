@@ -62,6 +62,7 @@ def segmentation_main(cfg: Config):
             min_duration=cfg.get_int("minimumDuration", 50),
             frame_length=frame_length,
             seed=cfg.get_int("randomSeed", 0),
+            map_reg=cfg.get_float("MAPRegFactorMean", 16.0),
             verbose=verbose)
         write_label_file(label_path(name, cfg, save=True), segs)
         out[name] = segs
@@ -82,7 +83,8 @@ def reseg_main(cfg: Config):
             nb_it=cfg.get_int("nbTrainIt", 3),
             min_duration=cfg.get_int("minimumDuration", 50),
             frame_length=frame_length,
-            seed=cfg.get_int("randomSeed", 0))
+            seed=cfg.get_int("randomSeed", 0),
+            map_reg=cfg.get_float("MAPRegFactorMean", 16.0))
         write_label_file(label_path(name, cfg, save=True), segs)
         out[name] = segs
         if verbose:

@@ -330,3 +330,20 @@ def test_eer_negative_control(rng):
     e_sep = eer(sep_t, sep_i)
     assert 0.035 < e_sep < 0.065, e_sep
     assert 0.0 <= min_dcf(sep_t, sep_i) <= min_dcf(same_t, same_i) <= 1.0
+
+
+def test_der_metric():
+    """DER: optimal mapping, miss/fa/confusion accounting, collar."""
+    from lia_ral_tpu.backend.eval import der
+    ref = np.asarray([0, 0, 0, 1, 1, 1, -1, -1])
+    # permuted labels are error-free under optimal mapping
+    assert der(ref, np.asarray([5, 5, 5, 2, 2, 2, -1, -1])) == 0.0
+    # one confused frame out of 6 speech frames
+    assert der(ref, np.asarray([5, 5, 2, 2, 2, 2, -1, -1])) == \
+        pytest.approx(1 / 6)
+    # miss and false alarm
+    assert der(ref, np.asarray([5, 5, 5, 2, 2, -1, -1, 2])) == \
+        pytest.approx(2 / 6)
+    # collar absolves boundary frames
+    assert der(ref, np.asarray([5, 5, 2, 2, 2, 2, -1, -1]),
+               collar_frames=1) == 0.0
