@@ -30,8 +30,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-P = dict(r=400, plda=150, n_dev=120, dev_sess=4, n_spk=50, n_imp=0,
-         tests_per_spk=2)
+# corpus v2 (r4): rank-normalised speaker scale so per-dim speaker std
+# (f_scale*sqrt(plda)) ~ 0.37 vs within-speaker noise 0.7 — the old
+# f_scale=0.9 per ELEMENT gave speaker std ~11 and a saturated EER 0.0;
+# dev enlarged so the 400-dim full-cov Sigma is estimable, and 200
+# target trials give 0.5% EER resolution
+P = dict(r=400, plda=150, n_dev=300, dev_sess=6, n_spk=50, n_imp=0,
+         tests_per_spk=4, f_scale=0.03, noise=0.7)
 
 
 def main():
@@ -69,9 +74,9 @@ def main():
     # ---- synthetic i-vector corpus with speaker/channel structure ------
     r, rank = P["r"], P["plda"]
     with stage("gen_vectors"):
-        f_true = rng.standard_normal((r, rank)) * 0.9
+        f_true = rng.standard_normal((r, rank)) * P["f_scale"]
         def spk_vecs(h, n):
-            return (f_true @ h + rng.standard_normal((n, r)) * 0.7
+            return (f_true @ h + rng.standard_normal((n, r)) * P["noise"]
                     ).astype(np.float32)
         dev_rows = []
         for s in range(P["n_dev"]):
