@@ -344,3 +344,60 @@ def sharded_plda_llr(mesh: Mesh, model, enroll: jax.Array,
         return plda_llr(mdl, e_loc, ns_loc, t_)
 
     return _score(model, enroll_p, ns_p, test)[:m]
+
+
+def sharded_estimate_w(mesh: Mesh, stats, model, chunk: int = 64,
+                       solver: str = "pcg", pcg_iters: int = 20):
+    """i-vector extraction with the utterance axis sharded over "data".
+
+    Extraction is embarrassingly parallel (estimateW[Un]Threaded,
+    AccumulateTVStat.cpp:2103-2267: the reference splits the file list
+    across threads with no shared accumulator), so the only collective
+    is a psum of the occupancy mean that seeds the PCG preconditioner
+    basis — making the basis (and hence every iterate) IDENTICAL to the
+    serial path, so sharded == serial to reduction-order noise.
+
+    Returns w (S, R) sharded over "data" (gathered on exit).
+    """
+    from ..fa.stats import BwStats
+    from ..fa.tv import (_pcg_basis, _posterior_mean, _posterior_mean_pcg,
+                         estimate_tett)
+
+    tett = estimate_tett(model)
+    tn_flat = (model.t * model.ubm_inv_var[None]).reshape(model.rank, -1)
+    if solver == "pcg":
+        q, dk = _pcg_basis(tett, jnp.mean(stats.n, axis=0))
+    else:
+        q = dk = jnp.zeros((0,), jnp.float32)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P(), P(), P(), P(), P()),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    def _extract(n_loc, f_loc, mdl, tt, tn, qq, dd):
+        s_loc, k = n_loc.shape
+        d = mdl.dim
+        pad = (-s_loc) % chunk
+        n_p = jnp.concatenate([n_loc, jnp.zeros((pad, k), n_loc.dtype)])
+        f_p = jnp.concatenate([f_loc, jnp.zeros((pad, k, d), f_loc.dtype)])
+
+        def block(blk):
+            n_blk, f_blk = blk
+            if solver == "pcg":
+                return _posterior_mean_pcg(n_blk, f_blk, mdl, tt, tn,
+                                           qq, dd, pcg_iters)
+            return _posterior_mean(n_blk, f_blk, mdl, tt, tn)
+
+        w = jax.lax.map(block, (n_p.reshape(-1, chunk, k),
+                                f_p.reshape(-1, chunk, k, d)))
+        return w.reshape(-1, mdl.rank)[:s_loc]
+
+    n_data = mesh.shape["data"]
+    s_real = stats.n.shape[0]
+    fbar = stats.centered(model.ubm_means)          # F̄ = F − N·m
+    (n_p, f_p), _ = _pad_leading([stats.n, fbar], n_data)
+    w = _extract(n_p, f_p, model, tett, tn_flat, q, dk)
+    return w[:s_real]

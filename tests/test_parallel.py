@@ -224,3 +224,29 @@ def test_tools_numthread_sharded_equal_serial(rng, tmp_path):
     t1 = read_matrix_file(str(tmp_path / "TV1.matx"))
     t8 = read_matrix_file(str(tmp_path / "TV8.matx"))
     np.testing.assert_allclose(t8, t1, rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_estimate_w_equals_serial(rng):
+    """Utterance-sharded i-vector extraction == serial (the reference's
+    estimateWThreaded file-list split, AccumulateTVStat.cpp:2103) for
+    both solvers; the PCG preconditioner basis is psum-seeded so every
+    iterate matches the serial path."""
+    import jax
+    from lia_ral_tpu.fa.stats import BwStats
+    from lia_ral_tpu.fa.tv import estimate_w, init_t
+    from lia_ral_tpu.parallel import make_mesh
+    from lia_ral_tpu.parallel.sharding import sharded_estimate_w
+
+    k, d, r, s = 12, 5, 6, 19          # 19 pads to 24 over 8 shards
+    gmm = random_gmm(rng, k, d)
+    model = init_t(jax.random.key(4), r, gmm)
+    stats = BwStats(
+        n=jnp.asarray(rng.random((s, k)) * 30 + 0.5, jnp.float32),
+        f=jnp.asarray(rng.standard_normal((s, k, d)) * 4, jnp.float32))
+    mesh = make_mesh()
+    for solver in ("pcg", "cholesky"):
+        w_ser = np.asarray(estimate_w(stats, model, chunk=4,
+                                      solver=solver))
+        w_shd = np.asarray(sharded_estimate_w(mesh, stats, model, chunk=2,
+                                              solver=solver))
+        np.testing.assert_allclose(w_shd, w_ser, rtol=2e-4, atol=2e-5)
