@@ -270,3 +270,30 @@ class UnsupervisedAdapter:
         return float(np.asarray(compute_test_llr(
             x, w, self.world, stack_gmms([self.model]),
             top_k=min(top_k, self.world.n_components)))[0])
+
+
+def online_znorm_params(client_model: GmmDiag, world: GmmDiag,
+                        cohort_x: jax.Array, cohort_w: jax.Array,
+                        top_k: int = 10) -> NormParams:
+    """Z-norm parameters of ONE (possibly just-adapted) client model
+    against a padded impostor-cohort batch, in a single device dispatch.
+
+    The adaptation loop shifts every score of an adapting model upward
+    as it absorbs data (measured: impostor scores of a 4-trial-adapted
+    model overtake the target scores of an unadapted one), so pooled
+    EER needs per-model-state normalisation.  The reference could not
+    afford rescoring the cohort after every trial on CPU — it computes
+    Z-norm once per client (computeAndStoreZnormParam call,
+    SpkAdapt.cpp:393) and corrects later drift with a PRECOMPUTED
+    frame-count→shift lookup table (SpkAdapt.cpp:717-733, commented
+    "TEST SHIFT TNORM").  On TPU the honest computation is one batched
+    (C,T,K) pass per model update — this function.
+    """
+    from ..gmm.scoring import compute_test_llr_batch, stack_gmms
+    c, t = cohort_x.shape[:2]
+    groups = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (c, t))
+    llr = np.asarray(compute_test_llr_batch(
+        cohort_x, cohort_w, world, stack_gmms([client_model]), groups,
+        top_k=min(top_k, world.n_components)))[:, 0]
+    return NormParams(float(llr.mean()),
+                      float(max(llr.std(), 1e-6)))

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..backend.unsupervised import (UnsupervisedAdapter, expand_llr,
                                     load_tnorm_param, normalize_score,
-                                    oracle, wmap)
+                                    online_znorm_params, oracle, wmap)
 from ..config import Config
 from ..gmm.map_adapt import MapCfg
 from ..gmm.model import GmmDiag
@@ -55,6 +55,31 @@ def main(cfg: Config) -> list[ScoreLine]:
         lines = read_nist_scores(cfg.get_str("tnormResFilename"))
         res = [(ln.model, ln.seg, ln.score) for ln in lines]
         tnorm_cache = load_tnorm_param(sorted({t for _, t, _ in res}), res)
+    # online Z-norm (reference ZNORM + impCohortFile keys,
+    # SpkAdapt.cpp:146-219/393): pooled scores drift upward as a model
+    # absorbs trial data, so Z-norm parameters must follow the ADAPTED
+    # model.  The reference computes them once per client and corrects
+    # drift with a precomputed frame-count shift table (cpp:717-733);
+    # here the cohort is re-scored against the current model in one
+    # batched dispatch whenever the model changed (online_znorm_params).
+    use_znorm = cfg.get_bool("ZNORM", False)
+    cohort_x = cohort_w = None
+    if use_znorm:
+        from ..io.lists import read_simple_list
+        c_names = read_simple_list(cfg.get_str("impCohortFile"))
+        mats, masks = [], []
+        for nm in c_names:
+            fs_c, m_c = load_features_and_mask([nm], cfg)
+            mats.append(np.asarray(fs_c.data, np.float32))
+            masks.append(np.asarray(m_c, np.float32))
+        t_max = max(m.shape[0] for m in mats)
+        cx = np.zeros((len(mats), t_max, mats[0].shape[1]), np.float32)
+        cw = np.zeros((len(mats), t_max), np.float32)
+        for i, (mx, mw) in enumerate(zip(mats, masks)):
+            cx[i, :mx.shape[0]] = mx
+            cw[i, :mw.shape[0]] = mw
+        cohort_x, cohort_w = jnp.asarray(cx), jnp.asarray(cw)
+    zcache: dict[str, tuple[float, object]] = {}
     results: list[ScoreLine] = []
     # targetIdList: "target trainFile+"; ndxFilename: "testSeg target+"
     train = dict(read_ndx(cfg.get_str("targetIdList")))
@@ -74,6 +99,14 @@ def main(cfg: Config) -> list[ScoreLine]:
             score = ad.score(x, w)
             if tnorm_cache is not None:
                 score = normalize_score(test_name, score, tnorm_cache)
+            if use_znorm:
+                cnt = float(np.asarray(ad.stats.count))
+                zc = zcache.get(target)
+                if zc is None or zc[0] != cnt:   # model changed → refresh
+                    zc = (cnt, online_znorm_params(ad.model, world,
+                                                   cohort_x, cohort_w))
+                    zcache[target] = zc
+                score = (score - zc[1].mu) / zc[1].sigma
             results.append(ScoreLine(gender, target,
                                      "1" if score > 0 else "0",
                                      test_name, score))
