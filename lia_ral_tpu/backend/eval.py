@@ -82,10 +82,8 @@ def der(ref_labels: np.ndarray, hyp_labels: np.ndarray,
     r_ids = np.unique(r[both])
     h_ids = np.unique(h[both])
     conf_mat = np.zeros((len(r_ids), len(h_ids)), np.int64)
-    r_idx = {v: i for i, v in enumerate(r_ids)}
-    h_idx = {v: i for i, v in enumerate(h_ids)}
-    for rv, hv in zip(r[both], h[both]):
-        conf_mat[r_idx[rv], h_idx[hv]] += 1
+    np.add.at(conf_mat, (np.searchsorted(r_ids, r[both]),
+                         np.searchsorted(h_ids, h[both])), 1)
     ri, hi = linear_sum_assignment(-conf_mat)
     matched = int(conf_mat[ri, hi].sum())
     confusion = int(both.sum()) - matched

@@ -352,16 +352,20 @@ def sharded_estimate_w(mesh: Mesh, stats, model, chunk: int = 64,
 
     Extraction is embarrassingly parallel (estimateW[Un]Threaded,
     AccumulateTVStat.cpp:2103-2267: the reference splits the file list
-    across threads with no shared accumulator), so the only collective
-    is a psum of the occupancy mean that seeds the PCG preconditioner
-    basis — making the basis (and hence every iterate) IDENTICAL to the
-    serial path, so sharded == serial to reduction-order noise.
+    across threads with no shared accumulator), so NO collective is
+    needed: tett/tn and the PCG preconditioner basis (seeded from the
+    GLOBAL occupancy mean, computed on the replicated stats BEFORE the
+    shard_map) enter every shard replicated — the basis and hence every
+    iterate is identical to the serial path, so sharded == serial to
+    reduction-order noise.
 
     Returns w (S, R) sharded over "data" (gathered on exit).
     """
-    from ..fa.stats import BwStats
     from ..fa.tv import (_pcg_basis, _posterior_mean, _posterior_mean_pcg,
                          estimate_tett)
+
+    if solver not in ("pcg", "cholesky"):
+        raise ValueError(f"unknown estimate_w solver {solver}")
 
     tett = estimate_tett(model)
     tn_flat = (model.t * model.ubm_inv_var[None]).reshape(model.rank, -1)

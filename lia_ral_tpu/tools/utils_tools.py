@@ -255,19 +255,26 @@ def poly_exp_main(cfg: Config):
     acc_sum = acc_sq = acc_cnt = None
     for n in names:
         fs, mask = load_features_and_mask([n], cfg)
-        e = np.asarray(poly_expand(jnp.asarray(fs.data)), np.float64)
-        m = np.asarray(mask, np.float64)
+        xj = jnp.asarray(fs.data)
+        wj = jnp.asarray(mask, jnp.float32)
         if compute_r:
-            # FrameAccGD over the whole list (reset only at the end)
+            # FrameAccGD over the whole list (reset only at the end);
+            # the (N, ~6545) expansion stays ON DEVICE — only the two
+            # accumulator vectors come back to host
+            e = poly_expand(xj)
+            s1 = np.asarray(jnp.sum(e * wj[:, None], axis=0), np.float64)
+            s2 = np.asarray(jnp.sum(e * e * wj[:, None], axis=0),
+                            np.float64)
             if acc_sum is None:
-                acc_sum = np.zeros(e.shape[1])
-                acc_sq = np.zeros(e.shape[1])
-                acc_cnt = 0.0
-            acc_sum += (e * m[:, None]).sum(axis=0)
-            acc_sq += (e * e * m[:, None]).sum(axis=0)
-            acc_cnt += m.sum()
+                acc_sum, acc_sq, acc_cnt = s1, s2, 0.0
+            else:
+                acc_sum += s1
+                acc_sq += s2
+            acc_cnt += float(np.asarray(jnp.sum(wj)))
             continue
-        v = (e * m[:, None]).sum(axis=0) / max(m.sum(), 1e-30)
+        # mean expansion computed on device (glds_expand_mean) — a
+        # 6545-vector comes back, not the full frame expansion
+        v = np.asarray(glds_expand_mean(xj, wj), np.float64)
         if r_vec is not None:
             v = v * r_vec
         path = os.path.join(cfg.get_str("vectorFilesPath", "./"), n + vext)
@@ -280,8 +287,13 @@ def poly_exp_main(cfg: Config):
             write_matrix_file(path, v[None, :])
         out[n] = v
     if compute_r:
-        mean = acc_sum / acc_cnt
-        r = 1.0 / np.sqrt(acc_sq / acc_cnt)      # computeRSqrt cpp:131-136
+        if acc_sum is None:
+            raise ValueError("polyExp computeR: empty input file list")
+        mean = acc_sum / max(acc_cnt, 1e-30)
+        msq = acc_sq / max(acc_cnt, 1e-30)
+        # computeRSqrt cpp:131-136; identically-zero columns would give
+        # inf — normalise them by 1 instead (they carry no information)
+        r = np.where(msq > 0, 1.0 / np.sqrt(np.maximum(msq, 1e-300)), 1.0)
         with open(cfg.get_str("computeR"), "w") as f:
             for ri, mi in zip(r, mean):
                 f.write(f"{ri:g} {mi:g}\n")

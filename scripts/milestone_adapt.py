@@ -65,7 +65,9 @@ def main():
     d = tempfile.mkdtemp(prefix="milestone_adapt_")
     rng = np.random.default_rng(20260820)
     t0 = time.perf_counter()
-    names = gen_corpus(d, p, rng)
+    # no TV/PLDA stage here — skip the dev population (600 files /
+    # ~1.2M frames of generation + CMVN that nothing reads)
+    names = gen_corpus(d, p, rng, with_dev=False)
 
     base = {
         "featureFilesPath": d + "/", "mixtureFilesPath": d + "/",
@@ -84,8 +86,7 @@ def main():
         "baggedFrameProbabilityInit": 1.0,
     }
 
-    all_files = (["bg"] + [n for _, n in names["dev"]]
-                 + [n for _, n in names["enroll"]]
+    all_files = (["bg"] + [n for _, n in names["enroll"]]
                  + [n for _, n in names["test"]]
                  + [n for _, n in names["imp_enroll"]] + names["imp_test"])
     with open(os.path.join(d, "allfeat.lst"), "w") as f:

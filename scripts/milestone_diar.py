@@ -15,9 +15,11 @@ sequence, before and after resegmentation.
 
 Corpus: the milestone feature-domain convention — a shared mixture
 bed; each speaker = Dirichlet weight signature + per-component mean
-offsets; the conversation alternates 2-8 s turns with 0.5 s
-non-speech gaps (labelled via the energy-like convention of writing
-only speech frames' labels).
+offsets; the conversation is back-to-back 2-8 s turns (all speech —
+the E-HMM state bank has no non-speech state, so the DER here
+measures SPEAKER CONFUSION + boundary error; speech/non-speech miss
+and false alarm are exercised by the energy-VAD path in
+milestone_audio.py instead).
 
 Usage: python scripts/milestone_diar.py [--out FILE]
 """

@@ -63,7 +63,7 @@ SCALES = {
 }
 
 
-def gen_corpus(d, p, rng):
+def gen_corpus(d, p, rng, with_dev=True):
     """Synthetic NIST-SRE-style corpus over a shared mixture bed.
 
     Speaker identity lives in the distribution SHAPE — per-speaker
@@ -100,7 +100,7 @@ def gen_corpus(d, p, rng):
                        np.concatenate([utt(s % n_all, p["bg"] // n_all + 1)
                                        for s in range(n_all)])[:p["bg"]],
                        fmt="SPRO4")
-    for s in range(p["n_dev"]):
+    for s in range(p["n_dev"] if with_dev else 0):
         for j in range(p["sess"]):
             nm = f"dev_s{s}_{j}"
             write_feature_file(os.path.join(d, nm + ".prm"),

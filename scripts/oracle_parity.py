@@ -117,9 +117,11 @@ def main():
                                    train_world)
     from lia_ral_tpu.tools.iv_norm import load_vectors
 
-    if not os.path.exists(ORACLE):
-        subprocess.run(["make", "-C", os.path.dirname(ORACLE), "oracle"],
-                       check=True)
+    # always invoke make: it is mtime-incremental, and an existing stale
+    # binary must never silently stand in for edited oracle math (the
+    # binary is gitignored — it is a -march=native build of this host)
+    subprocess.run(["make", "-C", os.path.dirname(ORACLE), "oracle"],
+                   check=True)
 
     p = SCALES["small"]
     d = args.workdir or tempfile.mkdtemp(prefix="oracle_parity_")
@@ -264,22 +266,20 @@ def main():
            "em_cov": rel_dev(1.0 / np.asarray(wld.cov_inv), ow_cov)}
 
     # MAP (stage-isolated: pipeline UBM as prior) + oracle-chain MAP
-    chain_rows = []
+    chain_rows, map_devs = [], []
     for m in tgt_models:
         write_bin(f"{ob}/enr.bin", feats(enroll_files[m]))
         run_oracle("map", f"{ob}/enr.bin", f"{ob}/wld.bin", 14.0, 3,
                    args.threads, f"{ob}/cl.bin")
         _, cmu, _ = rows_to_arrays(read_bin(f"{ob}/cl.bin"))
         pm = GmmDiag.load(os.path.join(d, m + ".gmm"))
-        if m == tgt_models[0]:
-            res["map_means"] = rel_dev(np.asarray(pm.means), cmu)
-        else:
-            dv = rel_dev(np.asarray(pm.means), cmu)
-            res["map_means"]["max"] = max(res["map_means"]["max"],
-                                          dv["max"])
+        map_devs.append(rel_dev(np.asarray(pm.means), cmu))
         run_oracle("map", f"{ob}/enr.bin", f"{ob}/wld_oracle.bin", 14.0, 3,
                    args.threads, f"{ob}/cl_chain.bin")
         chain_rows.append(read_bin(f"{ob}/cl_chain.bin"))
+    res["map_means"] = {
+        "max": max(dv["max"] for dv in map_devs),
+        "mean": float(np.mean([dv["mean"] for dv in map_devs]))}
     write_bin(f"{ob}/clients_chain.bin", np.stack(chain_rows))
 
     # scoring (stage-isolated: pipeline world + pipeline clients)

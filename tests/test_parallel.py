@@ -229,8 +229,8 @@ def test_tools_numthread_sharded_equal_serial(rng, tmp_path):
 def test_sharded_estimate_w_equals_serial(rng):
     """Utterance-sharded i-vector extraction == serial (the reference's
     estimateWThreaded file-list split, AccumulateTVStat.cpp:2103) for
-    both solvers; the PCG preconditioner basis is psum-seeded so every
-    iterate matches the serial path."""
+    both solvers; the PCG preconditioner basis is computed from the
+    replicated global stats so every iterate matches the serial path."""
     import jax
     from lia_ral_tpu.fa.stats import BwStats
     from lia_ral_tpu.fa.tv import estimate_w, init_t
