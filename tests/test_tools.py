@@ -265,3 +265,77 @@ def test_train_world_num_thread_sharded(tmp_path):
     np.testing.assert_allclose(np.asarray(w_shard.means),
                                np.asarray(w_serial.means),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_spk_adapt_online_znorm(tmp_path):
+    """ZNORM + impCohortFile (SpkAdapt.cpp:146-219): per-model-STATE
+    Z-norm — the cohort is re-scored against the CURRENT adapted model
+    whenever it changed, so the impostor score distribution stays
+    centred as the model absorbs trial data (the drift the reference
+    approximates with a frame-count shift table, cpp:717-733)."""
+    import jax
+    import jax.numpy as jnp
+    from lia_ral_tpu.backend.unsupervised import online_znorm_params
+    from lia_ral_tpu.gmm import TrainCfg, mixture_init, train_model
+    from lia_ral_tpu.tools import spk_adapt
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(5)
+    dim, k = 8, 8
+    bg = (rng.standard_normal((6000, dim)) * 2).astype(np.float32)
+    xj = jnp.asarray(bg)
+    w = jnp.ones(6000, jnp.float32)
+    init = mixture_init(jax.random.key(0), xj, w, k)
+    world = train_model(jax.random.key(1), xj, w, init,
+                        TrainCfg(nb_train_it=3))
+    world.save(os.path.join(d, "wld.gmm"))
+
+    def utt(shift, n, name):
+        x = (bg[rng.integers(0, 6000, n)] + shift).astype(np.float32)
+        write_feature_file(os.path.join(d, name + ".prm"), x, fmt="SPRO4")
+        return x
+
+    utt(1.0, 1200, "enroll")
+    for j in range(4):
+        utt(1.0, 600, f"t_tar{j}")
+    utt(-1.0, 600, "t_imp")
+    for c in range(4):
+        utt(rng.standard_normal(dim) * 0.8, 500, f"coh{c}")
+    with open(os.path.join(d, "cohort.lst"), "w") as f:
+        f.write("\n".join(f"coh{c}" for c in range(4)) + "\n")
+
+    # online_znorm_params itself: unadapted model → params match a
+    # direct cohort scoring; adapted model → mean shifts
+    from lia_ral_tpu.io.features import read_feature_file
+    zp0 = online_znorm_params(
+        world, world,
+        jnp.asarray(np.stack([read_feature_file(
+            os.path.join(d, f"coh{c}.prm"), fmt="SPRO4").data
+            for c in range(4)])),
+        jnp.ones((4, 500), jnp.float32))
+    assert abs(zp0.mu) < 1e-5          # world vs world → LLR exactly 0
+    assert zp0.sigma >= 1e-6
+
+    write_xlist(os.path.join(d, "targets.ndx"), [["spk1", "enroll"]])
+    write_xlist(os.path.join(d, "trials.ndx"),
+                [[f"t_tar{j}", "spk1"] for j in range(4)]
+                + [["t_imp", "spk1"]])
+    cfg = Config(dict(
+        featureFilesPath=d + "/", mixtureFilesPath=d + "/",
+        labelFilesPath=d + "/", inputWorldFilename="wld",
+        targetIdList=os.path.join(d, "targets.ndx"),
+        ndxFilename=os.path.join(d, "trials.ndx"),
+        loadFeatureFileExtension=".prm", addDefaultLabel="true",
+        saveMixtureFileFormat="RAW",
+        ZNORM="true", impCohortFile=os.path.join(d, "cohort.lst"),
+        outputFilename=os.path.join(d, "zn.nist"),
+        WMAPtarMean=3.0, WMAPtarStd=1.0, WMAPimpMean=0.0, WMAPimpStd=1.0,
+        WMAPtarPrior=0.3))
+    res = spk_adapt.main(cfg)
+    scores = {ln.seg: ln.score for ln in res}
+    # znormed target trials stay well separated from the impostor even
+    # as the model adapts (the un-normalised scores drift upward)
+    assert min(scores[f"t_tar{j}"] for j in range(4)) > scores["t_imp"]
+    # and the final target score is not runaway-inflated: znorm bounds
+    # the drift to impostor-sigma units
+    assert scores["t_tar3"] < 50.0
