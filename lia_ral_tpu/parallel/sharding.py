@@ -405,3 +405,114 @@ def sharded_estimate_w(mesh: Mesh, stats, model, chunk: int = 64,
     (n_p, f_p), _ = _pad_leading([stats.n, fbar], n_data)
     w = _extract(n_p, f_p, model, tett, tn_flat, q, dk)
     return w[:s_real]
+
+
+def sharded_tv_e_step_2d(mesh: Mesh, stats, model, chunk: int = 32):
+    """TV E-step sharded over BOTH axes: speakers over "data" AND the
+    GMM component axis over "model".
+
+    This is the >HBM case of SURVEY §2.6 ("shard the T-matrix and
+    per-component A_c accumulators over devices when > HBM"; measured
+    single-chip boundary: PERF.md §8 — tett + A at K=4096/R=600 exceed
+    one v5e).  Each device holds only its K/m slice of T, tett, F̄ and
+    the A/C accumulators; the per-utterance (B,R,R) L build and (B,R)
+    aux are partial sums over local components, psum-merged over
+    "model" (the ONLY cross-component collectives — R²-sized, tiny
+    next to the sharded K·R² state), after which the batched Cholesky
+    solve runs replicated within each model group, so sharded == serial
+    to reduction order.
+
+    Returns (w (S,R) sharded over "data", TvAccums with a/c sharded
+    over "model" and r_mat/r_vec/n_utts replicated).
+    """
+    from ..fa.tv import TvAccums
+
+    r = model.rank
+    k, d = model.ubm_means.shape
+    n_model = mesh.shape["model"]
+    n_data = mesh.shape["data"]
+    assert k % n_model == 0, (k, n_model)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data", "model"), P("data", "model", None),
+                  P(None, "model", None), P("model"), P("model")),
+        out_specs=(P("data"),
+                   TvAccums(a=P("model"), c=P(None, "model"),
+                            r_mat=P(), r_vec=P(), n_utts=P())),
+        check_vma=False,
+    )
+    def _estep(n_loc, f_loc, t_loc, means_loc, iv_loc):
+        s_loc, k_loc = n_loc.shape
+        # local tett / T·Σ⁻¹ over this shard's components
+        tett = jnp.einsum("rkd,kd,qkd->krq", t_loc, iv_loc, t_loc,
+                          preferred_element_type=jnp.float32)
+        tn_flat = (t_loc * iv_loc[None]).reshape(r, -1)
+        fbar = f_loc - n_loc[..., None] * means_loc[None]
+        pad = (-s_loc) % chunk
+        n_p = jnp.concatenate([n_loc, jnp.zeros((pad, k_loc),
+                                                n_loc.dtype)])
+        f_p = jnp.concatenate([fbar, jnp.zeros((pad, k_loc, d),
+                                               fbar.dtype)])
+        valid = jnp.concatenate([jnp.ones((s_loc,), jnp.float32),
+                                 jnp.zeros((pad,), jnp.float32)])
+        eye = jnp.eye(r, dtype=jnp.float32)
+
+        def body(acc, blk):
+            n_blk, f_blk, v_blk = blk
+            b = n_blk.shape[0]
+            # partial L/aux over LOCAL components → psum over "model"
+            l_part = jnp.dot(n_blk, tett.reshape(k_loc, r * r),
+                             preferred_element_type=jnp.float32
+                             ).reshape(b, r, r)
+            l_mat = eye[None] + jax.lax.psum(l_part, axis_name="model")
+            aux = jax.lax.psum(
+                jnp.dot(f_blk.reshape(b, -1), tn_flat.T,
+                        preferred_element_type=jnp.float32),
+                axis_name="model")
+            chol = jnp.linalg.cholesky(l_mat)
+            w = jax.scipy.linalg.cho_solve((chol, True),
+                                           aux[..., None])[..., 0]
+            linv = jax.scipy.linalg.cho_solve(
+                (chol, True), jnp.broadcast_to(eye, l_mat.shape))
+            w = w * v_blk[:, None]
+            cov = (linv + jnp.einsum("br,bq->brq", w, w)) \
+                * v_blk[:, None, None]
+            acc = TvAccums(
+                a=acc.a + jnp.einsum("bk,brq->krq", n_blk, cov,
+                                     preferred_element_type=jnp.float32),
+                c=acc.c + jnp.einsum("br,bkd->rkd", w, f_blk,
+                                     preferred_element_type=jnp.float32),
+                r_mat=acc.r_mat + jnp.sum(cov, axis=0),
+                r_vec=acc.r_vec + jnp.sum(w, axis=0),
+                n_utts=acc.n_utts + jnp.sum(v_blk),
+            )
+            return acc, w
+
+        acc, w_blocks = jax.lax.scan(
+            body, TvAccums.zeros(r, k_loc, d),
+            (n_p.reshape(-1, chunk, k_loc),
+             f_p.reshape(-1, chunk, k_loc, d),
+             valid.reshape(-1, chunk)))
+        # a/c stay component-sharded; everything merges over "data"
+        acc = TvAccums(
+            a=jax.lax.psum(acc.a, "data"),
+            c=jax.lax.psum(acc.c, "data"),
+            r_mat=jax.lax.psum(acc.r_mat, "data"),
+            r_vec=jax.lax.psum(acc.r_vec, "data"),
+            n_utts=jax.lax.psum(acc.n_utts, "data"))
+        return w_blocks.reshape(-1, r)[:s_loc], acc
+
+    s_real = stats.n.shape[0]
+    (n_p, f_p), _ = _pad_leading([stats.n, stats.f], n_data)
+    pad = n_p.shape[0] - s_real
+    w, acc = _estep(n_p, f_p, model.t, model.ubm_means, model.ubm_inv_var)
+    if pad:
+        # zero-stat padding rows contribute exactly I to r_mat and 1 to
+        # n_utts (their posterior covariance is the prior) — corrected
+        # here so sharded == serial (same fix as sharded_tv_e_step)
+        acc = acc.replace(
+            r_mat=acc.r_mat - pad * jnp.eye(r, dtype=acc.r_mat.dtype),
+            n_utts=acc.n_utts - pad)
+    return w[:s_real], acc

@@ -250,3 +250,36 @@ def test_sharded_estimate_w_equals_serial(rng):
         w_shd = np.asarray(sharded_estimate_w(mesh, stats, model, chunk=2,
                                               solver=solver))
         np.testing.assert_allclose(w_shd, w_ser, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_tv_e_step_2d_equals_serial(rng):
+    """(speakers x components) 2-D sharded TV E-step == serial — the
+    >HBM T-matrix case (SURVEY §2.6; PERF.md §8 single-chip boundary):
+    only the (B,R,R) L build and (B,R) aux cross the component axis,
+    psum-merged, so the replicated solve matches the serial path."""
+    import jax
+    from lia_ral_tpu.fa.stats import BwStats
+    from lia_ral_tpu.fa.tv import init_t, tv_e_step, tv_m_step
+    from lia_ral_tpu.parallel import make_mesh
+    from lia_ral_tpu.parallel.sharding import sharded_tv_e_step_2d
+    from tests.test_gmm_kernels import random_gmm
+
+    k, d, r, s = 8, 3, 4, 11          # k divisible by n_model=2
+    gmm = random_gmm(rng, k, d)
+    model = init_t(jax.random.key(7), r, gmm)
+    stats = BwStats(
+        n=jnp.asarray(rng.random((s, k)) * 25 + 1, jnp.float32),
+        f=jnp.asarray(rng.standard_normal((s, k, d)) * 4, jnp.float32))
+    mesh = make_mesh(n_data=4, n_model=2)
+    w_ser, acc_ser = tv_e_step(stats, model, chunk=4)
+    w_shd, acc_shd = sharded_tv_e_step_2d(mesh, stats, model, chunk=2)
+    np.testing.assert_allclose(np.asarray(w_shd), np.asarray(w_ser),
+                               rtol=2e-3, atol=2e-3)
+    for a, b in zip(jax.tree.leaves(acc_shd), jax.tree.leaves(acc_ser)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+    # the M-step consumes the sharded accums directly
+    m_ser = tv_m_step(model, acc_ser)
+    m_shd = tv_m_step(model, acc_shd)
+    np.testing.assert_allclose(np.asarray(m_shd.t), np.asarray(m_ser.t),
+                               rtol=5e-3, atol=5e-3)
