@@ -151,6 +151,15 @@ def main() -> None:
     float(wv[0, 0])
     t_w = (time.perf_counter() - t0) / 3
 
+    # on-chip validation of the PCG extraction solver vs the batched-
+    # Cholesky path (estimate_w default since r4; tolerance auditable)
+    sub_stats = BwStats(n=stats.n[:64], f=stats.f[:64])
+    w_pcg = np.asarray(estimate_w(sub_stats, model, solver="pcg"))
+    w_chol = np.asarray(estimate_w(sub_stats, model, solver="cholesky"))
+    pcg_dev = float(np.max(np.abs(w_pcg - w_chol))
+                    / max(np.max(np.abs(w_chol)), 1e-9))
+    pcg_ok = bool(pcg_dev < 1e-4)
+
     # ---- stage C': eigen-decomposition approximate extraction -------------
     # (IvExtractor.cpp:253 / AccumulateTVStat.cpp:2556) — the documented
     # high-throughput mode; EER cost measured end-to-end by
@@ -194,6 +203,8 @@ def main() -> None:
         "ivextract_approx_audio_s_per_s": round(audio_seconds / t_wa, 1),
         "pallas_fused_allclose_onchip": fused_ok,
         "fused_vs_xla_max_occ_relerr": round(dev_n, 8),
+        "pcg_vs_cholesky_allclose_onchip": pcg_ok,
+        "pcg_vs_cholesky_max_relerr": round(pcg_dev, 8),
         "baseline_src": "BASELINE_CPU.json (measured, 32-core perfect-"
                         "scaling, A+B+C harmonically combined)",
     }))
