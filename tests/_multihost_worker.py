@@ -75,7 +75,34 @@ def main():
         np.savez(os.path.join(outdir, "plda.npz"),
                  f=np.asarray(new.f), g=np.asarray(new.g),
                  sigma=np.asarray(new.sigma), mean=np.asarray(new.mean))
+    # cross-host TV E-step: speakers shard over the GLOBAL mesh, the
+    # TvAccums psums ride DCN (the multi-host form of the threaded
+    # estimateAandC accumulators, AccumulateTVStat.cpp:1944)
+    from lia_ral_tpu.parallel.sharding import sharded_tv_e_step
+    stats_tv, tv_model = tv_problem()
+    w_iv, acc = sharded_tv_e_step(mesh, stats_tv, tv_model, chunk=2)
+    if jax.process_index() == 0:
+        np.savez(os.path.join(outdir, "tv.npz"),
+                 a=np.asarray(acc.a), c=np.asarray(acc.c),
+                 r_mat=np.asarray(acc.r_mat),
+                 r_vec=np.asarray(acc.r_vec))
     print(f"proc {pid}: ok", flush=True)
+
+
+def tv_problem():
+    from lia_ral_tpu.fa.stats import BwStats
+    from lia_ral_tpu.fa.tv import init_t
+    rngt = np.random.default_rng(9)
+    k, d, r, s = 6, 4, 3, 8
+    gw = rngt.random(k) + 0.5
+    gmm_t = GmmDiag.create(gw / gw.sum(),
+                           rngt.standard_normal((k, d)).astype(np.float32),
+                           (rngt.random((k, d)) + 0.5).astype(np.float32))
+    model = init_t(jax.random.key(5), r, gmm_t)
+    stats = BwStats(
+        n=np.asarray(rngt.random((s, k)) * 20 + 1, np.float32),
+        f=np.asarray(rngt.standard_normal((s, k, d)) * 3, np.float32))
+    return stats, model
 
 
 def plda_problem():

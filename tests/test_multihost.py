@@ -81,3 +81,14 @@ def test_two_process_stats_equal_single_process(tmp_path):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(got_p["sigma"], np.asarray(ref_p.sigma),
                                rtol=1e-4, atol=1e-4)
+
+    # cross-host TV E-step == single-process serial E-step
+    from tests._multihost_worker import tv_problem
+    from lia_ral_tpu.fa.tv import tv_e_step
+    stats_tv, tv_model = tv_problem()
+    _, ref_tv = tv_e_step(stats_tv, tv_model, chunk=4)
+    got_tv = np.load(os.path.join(str(tmp_path), "tv.npz"))
+    for key, refv in (("a", ref_tv.a), ("c", ref_tv.c),
+                      ("r_mat", ref_tv.r_mat), ("r_vec", ref_tv.r_vec)):
+        np.testing.assert_allclose(got_tv[key], np.asarray(refv),
+                                   rtol=2e-3, atol=2e-3)
