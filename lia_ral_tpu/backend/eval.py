@@ -64,7 +64,9 @@ def der(ref_labels: np.ndarray, hyp_labels: np.ndarray,
 
     ref = np.asarray(ref_labels)
     hyp = np.asarray(hyp_labels)
-    assert ref.shape == hyp.shape
+    if ref.shape != hyp.shape:
+        raise ValueError(f"der: ref/hyp frame counts differ "
+                         f"({ref.shape} vs {hyp.shape})")
     scored = np.ones(ref.shape[0], bool)
     if collar_frames > 0:
         change = np.nonzero(np.diff(ref) != 0)[0]

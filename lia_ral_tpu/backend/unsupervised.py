@@ -291,9 +291,18 @@ def online_znorm_params(client_model: GmmDiag, world: GmmDiag,
     """
     from ..gmm.scoring import compute_test_llr_batch, stack_gmms
     c, t = cohort_x.shape[:2]
+    if c < 2:
+        raise ValueError(f"online_znorm_params: impostor cohort has {c} "
+                         f"file(s); need >= 2 for a usable score std")
     groups = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (c, t))
     llr = np.asarray(compute_test_llr_batch(
         cohort_x, cohort_w, world, stack_gmms([client_model]), groups,
         top_k=min(top_k, world.n_components)))[:, 0]
-    return NormParams(float(llr.mean()),
-                      float(max(llr.std(), 1e-6)))
+    sigma = float(llr.std())
+    if sigma < 1e-4:
+        # a near-constant cohort would blow Z-normed scores up by 1e4+
+        # and silently wreck downstream WMAP weighting — fail loudly
+        raise ValueError(f"online_znorm_params: degenerate impostor "
+                         f"cohort (score std {sigma:.2e} < 1e-4); use a "
+                         f"larger or more diverse cohort")
+    return NormParams(float(llr.mean()), sigma)

@@ -391,8 +391,9 @@ def sharded_estimate_w(mesh: Mesh, stats, model, chunk: int = 64,
         def block(blk):
             n_blk, f_blk = blk
             if solver == "pcg":
-                return _posterior_mean_pcg(n_blk, f_blk, mdl, tt, tn,
-                                           qq, dd, pcg_iters)
+                w_blk, _ = _posterior_mean_pcg(n_blk, f_blk, mdl, tt, tn,
+                                               qq, dd, pcg_iters)
+                return w_blk
             return _posterior_mean(n_blk, f_blk, mdl, tt, tn)
 
         w = jax.lax.map(block, (n_p.reshape(-1, chunk, k),

@@ -63,6 +63,13 @@ def main(cfg: Config) -> list[ScoreLine]:
     # here the cohort is re-scored against the current model in one
     # batched dispatch whenever the model changed (online_znorm_params).
     use_znorm = cfg.get_bool("ZNORM", False)
+    # refresh threshold: a near-zero WMAP weight (clear impostor) barely
+    # moves the model but still changes stats.count, and an exact-equality
+    # cache key would then pay a full cohort re-scoring dispatch (~130 ms+
+    # through the axon tunnel) for Z-norm parameters that did not move.
+    # Refresh only when the accumulated frame count grew by more than
+    # znormRefreshMinFrames (0 restores the exact per-change behavior).
+    znorm_min_frames = cfg.get_float("znormRefreshMinFrames", 1.0)
     cohort_x = cohort_w = None
     if use_znorm:
         from ..io.lists import read_simple_list
@@ -102,7 +109,8 @@ def main(cfg: Config) -> list[ScoreLine]:
             if use_znorm:
                 cnt = float(np.asarray(ad.stats.count))
                 zc = zcache.get(target)
-                if zc is None or zc[0] != cnt:   # model changed → refresh
+                if zc is None or cnt - zc[0] > znorm_min_frames:
+                    # model materially changed → refresh cohort Z-norm
                     zc = (cnt, online_znorm_params(ad.model, world,
                                                    cohort_x, cohort_w))
                     zcache[target] = zc

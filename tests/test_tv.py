@@ -244,3 +244,11 @@ def test_estimate_w_pcg_equals_cholesky(rng):
     stats0 = BwStats(n=stats.n.at[0].set(0.0), f=stats.f.at[0].set(0.0))
     w0 = np.asarray(estimate_w(stats0, model, solver="pcg"))
     assert np.all(np.abs(w0[0]) < 1e-6)
+    # convergence diagnostic: the per-utterance relative residual must
+    # sit at f32 roundoff inside the validated envelope, and the
+    # diagnostic path must return the same i-vectors
+    w_d, rel = estimate_w(stats, model, chunk=8, solver="pcg",
+                          return_diag=True)
+    np.testing.assert_allclose(np.asarray(w_d), w_pcg, rtol=0, atol=0)
+    assert rel.shape == (stats.n.shape[0],)
+    assert float(np.max(np.asarray(rel))) < 1e-5
