@@ -300,9 +300,15 @@ def online_znorm_params(client_model: GmmDiag, world: GmmDiag,
         top_k=min(top_k, world.n_components)))[:, 0]
     sigma = float(llr.std())
     if sigma < 1e-4:
-        # a near-constant cohort would blow Z-normed scores up by 1e4+
-        # and silently wreck downstream WMAP weighting — fail loudly
-        raise ValueError(f"online_znorm_params: degenerate impostor "
-                         f"cohort (score std {sigma:.2e} < 1e-4); use a "
-                         f"larger or more diverse cohort")
+        # a near-constant cohort blows Z-normed scores up by 1/σ and
+        # silently wrecks downstream WMAP weighting; warn LOUDLY and
+        # clamp (an unadapted client == world scores every cohort file
+        # exactly 0.0, so this is reachable in legitimate setups)
+        import warnings
+        warnings.warn(
+            f"online_znorm_params: near-degenerate impostor cohort "
+            f"(score std {sigma:.2e} < 1e-4); Z-normed scores will be "
+            f"scaled by >= 1e4 — use a larger or more diverse cohort",
+            RuntimeWarning, stacklevel=2)
+        sigma = max(sigma, 1e-6)
     return NormParams(float(llr.mean()), sigma)

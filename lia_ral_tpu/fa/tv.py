@@ -237,32 +237,28 @@ def tv_em_iteration(stats: BwStats, model: TvModel, chunk: int = 64,
     return new_model, w
 
 
-def _pcg_basis(tett: jax.Array, n_ref: jax.Array, k_chunk: int = 256):
+def _pcg_basis(model: TvModel, n_ref: jax.Array):
     """Preconditioner basis for the per-utterance L-solves.
 
     Q = eigenvectors of the reference-occupancy-weighted Σ_k n̄_k·E_k
     (an (R,R) eigh — one per estimate_w call), and D(k,i) = (Qᵀ E_k Q)_ii
     — the same quantities as the reference's eigenDecomposition
     APPROXIMATION (AccumulateTVStat.cpp:2556/3106), reused here as a
-    PRECONDITIONER so the solve stays EXACT.  D is built in K-chunks so
-    the (chunk,R,R) rotate intermediate stays ~160 MB, streaming the
-    (K,R,R) tett once."""
-    k, r, _ = tett.shape
-    m = jnp.tensordot(n_ref / jnp.maximum(jnp.sum(n_ref), 1e-30), tett,
-                      axes=1)                                   # (R,R)
+    PRECONDITIONER so the solve stays EXACT.  Both are built from the
+    FACTORED form E_k = Tn_k·Tn_kᵀ (Tn = T·√Σ⁻¹): two (R, K·D) matmuls
+    (~4·R²·K·D flops) instead of rotating the materialised (K,R,R) tett
+    (~2·K·R³ — 2.5x more at K=2048/R=400/D=39, and tett need not exist);
+    D(k,i) = ‖Qᵀ·Tn_k‖²-rows, exactly (QᵀE_kQ)_ii up to roundoff."""
+    r, k, d = model.t.shape
+    tn = model.t * jnp.sqrt(model.ubm_inv_var)[None]            # (R,K,D)
+    nw = n_ref / jnp.maximum(jnp.sum(n_ref), 1e-30)
+    tns = (tn * jnp.sqrt(nw)[None, :, None]).reshape(r, k * d)
+    m = jnp.dot(tns, tns.T, preferred_element_type=jnp.float32)  # (R,R)
     _, q = jnp.linalg.eigh(m)
-    pad = (-k) % k_chunk
-    t_p = jnp.concatenate(
-        [tett, jnp.zeros((pad, r, r), tett.dtype)]) if pad else tett
-
-    def chunk_diag(tc):
-        tq = jnp.einsum("krq,qi->kri", tc, q,
-                        preferred_element_type=jnp.float32)
-        return jnp.einsum("ri,kri->ki", q, tq,
-                          preferred_element_type=jnp.float32)
-
-    dk = jax.lax.map(chunk_diag, t_p.reshape(-1, k_chunk, r, r))
-    return q, dk.reshape(-1, r)[:k]                             # (R,R),(K,R)
+    h = jnp.dot(q.T, tn.reshape(r, k * d),
+                preferred_element_type=jnp.float32)              # (R, K·D)
+    dk = jnp.sum(h.reshape(r, k, d) ** 2, axis=-1).T             # (K, R)
+    return q, dk
 
 
 def _posterior_mean_pcg(n_blk, fbar_blk, model: TvModel, tett, tn_flat,
@@ -322,7 +318,7 @@ def _posterior_mean_pcg(n_blk, fbar_blk, model: TvModel, tett, tn_flat,
 @functools.partial(jax.jit, static_argnames=("chunk", "solver",
                                              "pcg_iters", "return_diag"))
 def estimate_w(stats: BwStats, model: TvModel, chunk: int = 256,
-               solver: str = "pcg", pcg_iters: int = 20,
+               solver: str = "pcg", pcg_iters: int = 16,
                return_diag: bool = False) -> jax.Array:
     """Exact i-vector extraction: w = L⁻¹ T Σ⁻¹ F̄ per utterance
     (reference estimateW, cpp:2103-2267).  ``chunk`` bounds the live
@@ -332,16 +328,18 @@ def estimate_w(stats: BwStats, model: TvModel, chunk: int = 256,
     ``solver``: "pcg" (default) solves the SPD systems by
     eigendecomposition-preconditioned conjugate gradients — exact to
     f32 roundoff (max dev 4.9e-7 vs the Cholesky path at milestone
-    shapes, residual ≤ 1e-10 at ``pcg_iters=20``; tests pin both) and
+    shapes, residual ≤ 1e-8 at ``pcg_iters=16``; tests pin both) and
     ~3x faster end-to-end; "cholesky" keeps the batched-factorisation
     path (the E-step always uses it — it needs the full L⁻¹).
 
-    Validated PCG envelope: the fixed ``pcg_iters=20`` loop reaches f32
-    roundoff for occupancy profiles within the operating range of the
-    tests (per-component occupancies ~0-100, preconditioner basis from
-    the batch-mean occupancy; measured κ ≈ 1.6 at K=2048/R=400).  For
-    stats far outside it (hours-long utterances, occupancy profiles
-    orthogonal to the batch mean), pass ``return_diag=True`` to ALSO get
+    Validated PCG envelope (scripts/sweep_pcg_iters.py, on-chip at
+    K=2048/R=400): uniform ~2000-frame occupancies AND 100k-frame
+    utterances converge to the f32 dev floor vs Cholesky by 8
+    iterations (7e-7 / 9.7e-7); a hostile heavy-tailed Dirichlet(0.05)
+    occupancy profile (maximally mismatched to the batch-mean
+    preconditioner basis) reaches its floor (2.9e-6) by 16 — raising
+    to 20 does not improve any measured case, hence the 16 default.
+    For stats outside this envelope pass ``return_diag=True`` to get
     the per-utterance relative residual ‖L·w − aux‖/‖aux‖ — values ≫
     f32 roundoff mean raise ``pcg_iters`` (config key
     ``ivSolverPcgIterations``) or use solver="cholesky"."""
@@ -354,7 +352,7 @@ def estimate_w(stats: BwStats, model: TvModel, chunk: int = 256,
     n_p = jnp.concatenate([stats.n, jnp.zeros((pad, k), stats.n.dtype)])
     f_p = jnp.concatenate([fbar, jnp.zeros((pad, k, d), fbar.dtype)])
     if solver == "pcg":
-        q, dk = _pcg_basis(tett, jnp.mean(stats.n, axis=0))
+        q, dk = _pcg_basis(model, jnp.mean(stats.n, axis=0))
 
         def block(blk):
             n_blk, f_blk = blk

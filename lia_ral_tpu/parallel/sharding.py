@@ -347,7 +347,7 @@ def sharded_plda_llr(mesh: Mesh, model, enroll: jax.Array,
 
 
 def sharded_estimate_w(mesh: Mesh, stats, model, chunk: int = 64,
-                       solver: str = "pcg", pcg_iters: int = 20):
+                       solver: str = "pcg", pcg_iters: int = 16):
     """i-vector extraction with the utterance axis sharded over "data".
 
     Extraction is embarrassingly parallel (estimateW[Un]Threaded,
@@ -370,7 +370,7 @@ def sharded_estimate_w(mesh: Mesh, stats, model, chunk: int = 64,
     tett = estimate_tett(model)
     tn_flat = (model.t * model.ubm_inv_var[None]).reshape(model.rank, -1)
     if solver == "pcg":
-        q, dk = _pcg_basis(tett, jnp.mean(stats.n, axis=0))
+        q, dk = _pcg_basis(model, jnp.mean(stats.n, axis=0))
     else:
         q = dk = jnp.zeros((0,), jnp.float32)
 

@@ -86,6 +86,28 @@ def main():
                  a=np.asarray(acc.a), c=np.asarray(acc.c),
                  r_mat=np.asarray(acc.r_mat),
                  r_vec=np.asarray(acc.r_vec))
+    # cross-host JFA V iteration: speakers shard over the GLOBAL mesh,
+    # the SubspaceAccums psum rides DCN (the multi-host form of the
+    # reference's threaded estimateVEVT merge,
+    # AccumulateJFAStat.cpp:1573)
+    from jax.experimental.multihost_utils import process_allgather
+
+    from lia_ral_tpu.parallel.sharding import sharded_jfa_v_iteration
+    jstats, jmodel, jx, jz = jfa_problem()
+    jnew, y = sharded_jfa_v_iteration(mesh, jstats, jmodel, jx, jz)
+    y_all = process_allgather(y, tiled=True)      # (S,rv) spans both hosts
+    if jax.process_index() == 0:
+        np.savez(os.path.join(outdir, "jfa.npz"),
+                 v=np.asarray(jnew.v), y=np.asarray(y_all))
+    # cross-host i-vector extraction: utterances shard over the GLOBAL
+    # mesh; no collective in the solve itself (per-utterance systems),
+    # preconditioner basis replicated (sharded_estimate_w docstring)
+    from lia_ral_tpu.parallel.sharding import sharded_estimate_w
+    w_iv2 = sharded_estimate_w(mesh, stats_tv, tv_model, chunk=2,
+                               pcg_iters=12)
+    w_all = process_allgather(w_iv2, tiled=True)
+    if jax.process_index() == 0:
+        np.savez(os.path.join(outdir, "w_iv.npz"), w=np.asarray(w_all))
     print(f"proc {pid}: ok", flush=True)
 
 
@@ -103,6 +125,26 @@ def tv_problem():
         n=np.asarray(rngt.random((s, k)) * 20 + 1, np.float32),
         f=np.asarray(rngt.standard_normal((s, k, d)) * 3, np.float32))
     return stats, model
+
+
+def jfa_problem():
+    from lia_ral_tpu.fa.jfa import JfaModel, JfaStats
+    from lia_ral_tpu.fa.stats import BwStats
+    rngj = np.random.default_rng(11)
+    k, d, h, spk, rv = 6, 4, 12, 4, 2
+    gw = rngj.random(k) + 0.5
+    gmm_j = GmmDiag.create(gw / gw.sum(),
+                           rngj.standard_normal((k, d)).astype(np.float32),
+                           (rngj.random((k, d)) + 0.5).astype(np.float32))
+    sess = BwStats(
+        n=np.asarray(rngj.random((h, k)) * 20 + 1, np.float32),
+        f=np.asarray(rngj.standard_normal((h, k, d)) * 3, np.float32))
+    stats = JfaStats.from_sessions(sess, [i % spk for i in range(h)], spk)
+    import jax as _jax
+    model = JfaModel.init(_jax.random.key(4), rv, rv, gmm_j, scale=0.1)
+    x = np.asarray(rngj.standard_normal((h, rv)) * 0.1, np.float32)
+    z = np.zeros_like(np.asarray(stats.spk.f))
+    return stats, model, x, z
 
 
 def plda_problem():

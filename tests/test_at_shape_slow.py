@@ -292,3 +292,35 @@ def test_estimate_w_pcg_equals_cholesky_at_shape():
                                    solver="cholesky"))
     scale = np.abs(w_chol).max()
     assert np.abs(w_pcg - w_chol).max() / scale < 1e-4
+
+
+def test_sharded_tv_e_step_2d_beyond_hbm_shape():
+    """2-D (speakers x components) TV E-step == serial at K=4096/R=600
+    — the K·R² scale whose tett (5.9 GB) + A accumulators EXCEED one
+    v5e HBM (PERF.md §8: remote compile fails single-chip at this
+    K/R; the component-axis sharding halves per-device state).  tett
+    and A are (K,R,R) — independent of D — so D=39 keeps the >HBM
+    property while fitting this harness's CPU budget.  Runs on the
+    virtual CPU mesh where host RAM holds both paths; pins the
+    sharding is correct at exactly the shape it exists for."""
+    from lia_ral_tpu.fa.stats import BwStats
+    from lia_ral_tpu.fa.tv import init_t, tv_e_step
+    from lia_ral_tpu.parallel import make_mesh
+    from lia_ral_tpu.parallel.sharding import sharded_tv_e_step_2d
+
+    k, d, r, s = 4096, 39, 600, 2
+    rng = np.random.default_rng(23)
+    gmm = _synth_tv_world(rng, k=k, d=d)
+    model = init_t(jax.random.key(11), r, gmm)
+    stats = BwStats(
+        n=jnp.asarray(rng.random((s, k)) * 30 + 1, jnp.float32),
+        f=jnp.asarray(rng.standard_normal((s, k, d)) * 5, jnp.float32))
+    mesh = make_mesh(n_data=4, n_model=2)
+    w_ser, acc_ser = tv_e_step(stats, model, chunk=2)
+    w_sh, acc_sh = sharded_tv_e_step_2d(stats=stats, model=model,
+                                        mesh=mesh, chunk=1)
+    np.testing.assert_allclose(np.asarray(w_sh), np.asarray(w_ser),
+                               rtol=5e-3, atol=5e-3)
+    for a, b in zip(jax.tree.leaves(acc_ser), jax.tree.leaves(acc_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)

@@ -92,3 +92,23 @@ def test_two_process_stats_equal_single_process(tmp_path):
                       ("r_mat", ref_tv.r_mat), ("r_vec", ref_tv.r_vec)):
         np.testing.assert_allclose(got_tv[key], np.asarray(refv),
                                    rtol=2e-3, atol=2e-3)
+
+    # cross-host JFA V iteration == single-process serial iteration
+    # (the DCN form of the threaded estimateVEVT merge,
+    # AccumulateJFAStat.cpp:1573)
+    from tests._multihost_worker import jfa_problem
+    from lia_ral_tpu.fa.jfa import jfa_v_iteration
+    jstats, jmodel, jx, jz = jfa_problem()
+    ref_m, ref_y = jfa_v_iteration(jstats, jmodel, jx, jz)
+    got_j = np.load(os.path.join(str(tmp_path), "jfa.npz"))
+    np.testing.assert_allclose(got_j["v"], np.asarray(ref_m.v),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got_j["y"], np.asarray(ref_y),
+                               rtol=2e-4, atol=2e-5)
+
+    # cross-host i-vector extraction == single-process estimate_w
+    from lia_ral_tpu.fa.tv import estimate_w
+    ref_w = estimate_w(stats_tv, tv_model, chunk=2, pcg_iters=12)
+    got_w = np.load(os.path.join(str(tmp_path), "w_iv.npz"))
+    np.testing.assert_allclose(got_w["w"], np.asarray(ref_w),
+                               rtol=2e-3, atol=2e-3)
