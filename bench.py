@@ -149,13 +149,14 @@ def main() -> None:
 
     def bw_timer(stats_pass: str):
         @jax.jit
-        def bw_pass(xu, gmm, shift):
-            # `shift` chains each iteration on the previous result, so
-            # every timed execution sees FRESH input data (like stage A's
-            # chained model) and no request/result caching can
-            # short-circuit it
-            st = bw_stats_batch(xu + shift, wm, gmm,
-                                stats_pass=stats_pass)
+        def bw_pass(xu, gmm, eps):
+            # chain through the MODEL (like stage A): every timed
+            # execution scores against fresh means, so no request/result
+            # caching can short-circuit it — and unlike perturbing the
+            # 328 MB input tensor, the perturbation pass costs (K,D)
+            # work, keeping the measurement about the kernel
+            g = gmm.replace(means=gmm.means * (1.0 + eps))
+            st = bw_stats_batch(xu, wm, g, stats_pass=stats_pass)
             return st.n, st.f
 
         zero = jnp.zeros((), jnp.float32)

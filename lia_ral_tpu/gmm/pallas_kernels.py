@@ -342,14 +342,15 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
                    llk=out[k, 0], count=out[k, 1])
 
 
-def _bw_stats_kernel(k, prec, exp_mode, stats_pass, xa_ref, w_ref, b_ref,
-                     cst_ref, out_ref, acc_ref):
+def _bw_stats_kernel(k, prec, exp_mode, stats_pass, single_step, xa_ref,
+                     w_ref, b_ref, cst_ref, out_ref, acc_ref):
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
 
-    @pl.when(t == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    if not single_step:
+        @pl.when(t == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
     xa = xa_ref[0]                                  # (BT, A) [x², x, 1, 0]
     wb = w_ref[0]                                   # (BT, 1)
@@ -392,16 +393,22 @@ def _bw_stats_kernel(k, prec, exp_mode, stats_pass, xa_ref, w_ref, b_ref,
     else:
         stats = jnp.dot(p.T, xs, preferred_element_type=jnp.float32,
                         precision=prec)
-    acc_ref[0:k, :] += stats
     a = xa.shape[1]
     upd = jnp.concatenate(
         [jnp.sum(llk * wb)[None], jnp.sum(wb)[None],
          jnp.zeros((a - 2,), jnp.float32)]).reshape(1, a)
-    acc_ref[k:k + 1, :] += upd
+    if single_step:
+        # one grid step covers the whole utterance (the common case at
+        # bucketed T ≤ 2048): write the result straight to the output
+        # block — no scratch zero-init/accumulate/copy per utterance
+        out_ref[0] = jnp.concatenate([stats, upd], axis=0)
+    else:
+        acc_ref[0:k, :] += stats
+        acc_ref[k:k + 1, :] += upd
 
-    @pl.when(t == n_t - 1)
-    def _write():
-        out_ref[0] = acc_ref[:]
+        @pl.when(t == n_t - 1)
+        def _write():
+            out_ref[0] = acc_ref[:]
 
 
 @functools.partial(jax.jit,
@@ -427,7 +434,13 @@ def bw_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
     k = gmm.n_components
     a = 2 * d + 2
     if block is None:
-        block = 1024
+        # cover the whole utterance in ONE grid step when it fits the
+        # VMEM budget: removes the per-utterance scratch accumulate +
+        # copy and halves the utterance-boundary flushes (measured
+        # +2 Mframe/s at S=500/T=2000 vs block=1024).  1024-multiples
+        # only — an odd block (e.g. 2000) tiles ~8 % slower than the
+        # padded 2048 (measured)
+        block = ((t + 1023) // 1024) * 1024 if t <= 2048 else 1024
     pad = (-t) % block
     if pad:
         x = jnp.concatenate(
@@ -456,8 +469,10 @@ def bw_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
     if prec == "bf16x3":
         b = b.at[2 * d].set(cst)    # see em_stats_fused: folded cst
         cst = jnp.zeros_like(cst)
+    single_step = (t_pad // block) == 1
     out = pl.pallas_call(
-        functools.partial(_bw_stats_kernel, k, prec, exp_mode, stats_pass),
+        functools.partial(_bw_stats_kernel, k, prec, exp_mode, stats_pass,
+                          single_step),
         grid=(s, t_pad // block),
         in_specs=[
             pl.BlockSpec((1, block, a), lambda i, j: (i, j, 0),

@@ -114,8 +114,86 @@ def main():
     finally:
         srv.stop()
 
+    # ---- scale-out path: N SimpleSpkDetSystem instances sharing the
+    # chip (MILESTONE.md's claim that scale-out serving bypasses the
+    # stateful wire session and uses the API per process — measured
+    # here with per-thread instances, the same chip-contention shape
+    # as N processes with warm compile caches), plus the batched
+    # identify path (M speakers scored in ONE dispatch) ----------------
+    from lia_ral_tpu.api import SimpleSpkDetSystem
+
+    def make_sys(n_speakers=1):
+        s = SimpleSpkDetSystem(Config())
+        s.set_background_model(ubm)
+        for m in range(n_speakers):
+            s.speakers[f"spk{m}"] = spk
+        return s
+
+    for conc in (1, 4, 8):
+        systems = [make_sys() for _ in range(conc)]
+        # warm every instance before timing
+        for s_api in systems:
+            s_api.add_features(test_feats[0])
+            s_api.verify_speaker("spk0")
+        stop = threading.Event()
+        lats = [[] for _ in range(conc)]
+        cnts = [[0] for _ in range(conc)]
+
+        def api_worker(idx, stop, lat, cnt):
+            s_api = systems[idx]
+            f = test_feats[idx % len(test_feats)]
+            while not stop.is_set():
+                t0 = time.perf_counter()
+                s_api.reset_features()
+                s_api.add_features(f)
+                s_api.verify_speaker("spk0")
+                lat.append(time.perf_counter() - t0)
+                cnt[0] += 1
+
+        threads = [threading.Thread(target=api_worker,
+                                    args=(i, stop, lats[i], cnts[i]))
+                   for i in range(conc)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        time.sleep(args.seconds)
+        stop.set()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        all_lat = np.asarray(sum(lats, [])) * 1000.0
+        total = sum(c[0] for c in cnts)
+        results[f"api_conc{conc}"] = {
+            "verifies_per_s": round(total / wall, 1),
+            "p50_ms": round(float(np.percentile(all_lat, 50)), 1),
+            "p95_ms": round(float(np.percentile(all_lat, 95)), 1),
+        }
+        print(json.dumps({f"api_conc{conc}": results[f"api_conc{conc}"]}),
+              flush=True)
+
+    # batched identify: M enrolled speakers scored in one dispatch
+    m_spk = 64
+    s_api = make_sys(m_spk)
+    s_api.add_features(test_feats[0])
+    s_api.identify_speaker()                  # warm/compile
+    n_calls, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < args.seconds:
+        s_api.reset_features()
+        s_api.add_features(test_feats[n_calls % len(test_feats)])
+        s_api.identify_speaker()
+        n_calls += 1
+    wall = time.perf_counter() - t0
+    results["api_identify_batch"] = {
+        "speakers": m_spk,
+        "identify_calls_per_s": round(n_calls / wall, 1),
+        "speaker_trials_per_s": round(n_calls * m_spk / wall, 1),
+    }
+    print(json.dumps({"api_identify_batch":
+                      results["api_identify_batch"]}), flush=True)
+
     summary = {
-        "milestone": "TCP serving throughput (features->verify loop)",
+        "milestone": "serving throughput: wire protocol vs API scale-out "
+                     "vs batched identify",
         "platform": str(jax.devices()[0]),
         "shapes": {"K": K, "D": D, "t_test": T_TEST,
                    "seconds_per_level": args.seconds},

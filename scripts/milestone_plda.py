@@ -58,18 +58,9 @@ def main():
 
     d = tempfile.mkdtemp(prefix="milestone_plda_")
     rng = np.random.default_rng(20260822)
-    stages = {}
-
-    def stage(name):
-        class _T:
-            def __enter__(self):
-                self.t0 = time.perf_counter()
-
-            def __exit__(self, *a):
-                stages[name] = round(time.perf_counter() - self.t0, 2)
-                print(json.dumps({"stage": name,
-                                  "wall_s": stages[name]}), flush=True)
-        return _T()
+    from lia_ral_tpu.utils.stagemon import StageMonitor
+    mon = StageMonitor()
+    stage = mon.stage
 
     # ---- synthetic i-vector corpus with speaker/channel structure ------
     r, rank = P["r"], P["plda"]
@@ -158,8 +149,9 @@ def main():
                    "n_targets": P["n_spk"],
                    "n_trials": len(test_names) * len(models)},
         "results": {k: round(float(v), 6) for k, v in res.items()},
-        "stage_wall_s": stages,
-        "total_wall_s": round(sum(stages.values()), 1),
+        "stage_wall_s": mon.stage_walls,
+        "stage_records": mon.records,
+        "total_wall_s": round(sum(mon.stage_walls.values()), 1),
     }
     print(json.dumps(summary), flush=True)
     if args.out:
