@@ -343,14 +343,9 @@ def em_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
 
 
 def _bw_stats_kernel(k, prec, exp_mode, stats_pass, single_step, xa_ref,
-                     w_ref, b_ref, cst_ref, out_ref, acc_ref):
+                     w_ref, b_ref, cst_ref, out_ref):
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
-
-    if not single_step:
-        @pl.when(t == 0)
-        def _init():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
 
     xa = xa_ref[0]                                  # (BT, A) [x², x, 1, 0]
     wb = w_ref[0]                                   # (BT, 1)
@@ -397,18 +392,24 @@ def _bw_stats_kernel(k, prec, exp_mode, stats_pass, single_step, xa_ref,
     upd = jnp.concatenate(
         [jnp.sum(llk * wb)[None], jnp.sum(wb)[None],
          jnp.zeros((a - 2,), jnp.float32)]).reshape(1, a)
+    blk = jnp.concatenate([stats, upd], axis=0)     # (K+1, A)
     if single_step:
         # one grid step covers the whole utterance (the common case at
         # bucketed T ≤ 2048): write the result straight to the output
         # block — no scratch zero-init/accumulate/copy per utterance
-        out_ref[0] = jnp.concatenate([stats, upd], axis=0)
+        out_ref[0] = blk
     else:
-        acc_ref[0:k, :] += stats
-        acc_ref[k:k + 1, :] += upd
+        # multi-step: the out block index is constant over t, so the
+        # block stays VMEM-resident across the inner grid axis — adding
+        # into it directly replaces the r4 scratch accumulator and its
+        # final copy pass (one fewer (K+1, A) VMEM pass per utterance)
+        @pl.when(t == 0)
+        def _first():
+            out_ref[0] = blk
 
-        @pl.when(t == n_t - 1)
-        def _write():
-            out_ref[0] = acc_ref[:]
+        @pl.when(t > 0)
+        def _rest():
+            out_ref[0] += blk
 
 
 @functools.partial(jax.jit,
@@ -435,12 +436,14 @@ def bw_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
     a = 2 * d + 2
     if block is None:
         # cover the whole utterance in ONE grid step when it fits the
-        # VMEM budget: removes the per-utterance scratch accumulate +
-        # copy and halves the utterance-boundary flushes (measured
-        # +2 Mframe/s at S=500/T=2000 vs block=1024).  1024-multiples
-        # only — an odd block (e.g. 2000) tiles ~8 % slower than the
-        # padded 2048 (measured)
-        block = ((t + 1023) // 1024) * 1024 if t <= 2048 else 1024
+        # VMEM budget: no per-utterance accumulate pass and no padded-
+        # tail compute.  With the direct-out accumulation (r5b) the
+        # UNPADDED block (= t) measures fastest at T=2000 — 28.0 (x3) /
+        # 33.1 (bf16nx) Mframe/s vs 23.4/31.8 for the padded 2048 and
+        # 27.5/32.3 for 1024 multi-step (sweep_bw.py on-chip).  Sublane
+        # alignment (t % 8) gates the exact-block path; otherwise the
+        # 1024 multi-step is within ~2 % of the best anyway
+        block = t if (t <= 2048 and t % 8 == 0) else 1024
     pad = (-t) % block
     if pad:
         x = jnp.concatenate(
@@ -487,7 +490,6 @@ def bw_stats_fused(x: jax.Array, w: jax.Array, gmm: GmmDiag,
         out_specs=pl.BlockSpec((1, k + 1, a), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((s, k + 1, a), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k + 1, a), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),

@@ -98,6 +98,11 @@ variants = [
     ("bw bf16 block2000", dict(block=2000, stats_pass="bf16"), False),
     ("bw bf16nx block2000 +chain", dict(block=2000,
                                         stats_pass="bf16nx"), True),
+    # r5b: direct-out accumulation (no scratch) makes multi-step blocks
+    # competitive with the single-step 2048 path — sweep both tiers
+    ("bw bf16nx block2048 (1 step/utt)", dict(block=2048,
+                                              stats_pass="bf16nx"), False),
+    ("bw bf16nx block512", dict(block=512, stats_pass="bf16nx"), False),
 ]
 for tag, kw, chain in variants:
     try:
