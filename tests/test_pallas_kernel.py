@@ -161,3 +161,27 @@ def test_bw_stats_fused_matches_xla(rng):
         # cross-path bf16x3 budget on TPU; exact on CPU
         np.testing.assert_allclose(float(llk[i]), want,
                                    rtol=_tol(1e-5, 3e-4))
+
+
+def test_bw_stats_fused_default_block_paths(rng):
+    """r5b block auto-selection: the exact-block single-step path
+    (t <= 2048, 8-aligned), the non-aligned fallback (1024 multi-step
+    with direct-out accumulation), and the long-utterance multi-step
+    path must all agree with the XLA reference."""
+    from lia_ral_tpu.fa.stats import bw_stats_batch
+    from lia_ral_tpu.gmm.pallas_kernels import bw_stats_fused
+
+    d, k = 5, 16
+    w_ = rng.random(k) + 0.5
+    w_ /= w_.sum()
+    gmm = GmmDiag.create(w_, rng.standard_normal((k, d)),
+                         rng.random((k, d)) + 0.5)
+    for t in (64, 61, 2060):       # exact-block / non-aligned / >limit
+        x = jnp.asarray(rng.standard_normal((3, t, d)), jnp.float32)
+        mask = jnp.asarray(rng.random((3, t)) > 0.3, jnp.float32)
+        n, f, _ = bw_stats_fused(x, mask, gmm, interpret=True)
+        ref = bw_stats_batch(x, mask, gmm, use_fused=False)
+        np.testing.assert_allclose(np.asarray(n), np.asarray(ref.n),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(f), np.asarray(ref.f),
+                                   rtol=1e-3, atol=1e-3)
