@@ -151,7 +151,17 @@ class SimpleSpkDetSystem:
         tools/compute_test.py contract).  One compiled executable per
         bucket pair instead of one per (utterance length, enrolled
         count): verify/identify latency stays flat as audio streams in."""
-        assert self.ubm is not None and self.feature_count() > 0
+        # explicit errors (not asserts): these are reachable through the
+        # wire protocol — e.g. two clients interleaving reset/send/verify
+        # on the server's single shared feature buffer (the reference's
+        # one-session semantics, SpkDetServer.cpp:845) — and the message
+        # travels back in the error reply
+        if self.ubm is None:
+            raise ValueError("no background model loaded")
+        if self.feature_count() == 0:
+            raise ValueError("feature buffer is empty (reset by a "
+                             "concurrent session?) — the wire protocol is "
+                             "single-session; scale out via the API")
         from ..tools.compute_test import _pad_clients, _pad_frames
         x_np, w_np, g_np = _pad_frames(
             np.asarray(self.features, np.float32))
