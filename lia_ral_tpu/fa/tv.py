@@ -262,17 +262,21 @@ def _pcg_basis(model: TvModel, n_ref: jax.Array):
 
 
 def _posterior_mean_pcg(n_blk, fbar_blk, model: TvModel, tett, tn_flat,
-                        q, dk, iters: int):
+                        q, dk, iters: int, tol: float = 0.0):
     """w = L⁻¹·aux via preconditioned conjugate gradients.
 
     L is SPD and, preconditioned by the per-utterance diagonal
     1/(1 + n·D) in the fixed Q basis, near-perfectly conditioned
     (measured κ ≈ 1.6 at K=2048/R=400 on 2000-frame occupancies):
-    convergence to f32 roundoff in ~10 iterations; ``iters`` fixed so
-    the loop is jit-static.  Each iteration is one bandwidth-bound
-    (B,R,R)·(B,R) matvec — 5x faster than the batched Cholesky at
-    B=512/R=400 (14.7 vs 72.7 ms measured on-chip, PERF.md §2).
-    Padding rows (n=0) give L=I, aux=0 → x=0 exactly."""
+    convergence to f32 roundoff in ~10 iterations; ``iters`` bounds
+    the loop.  With ``tol > 0`` the loop exits early once EVERY
+    utterance in the block satisfies ‖L·x − aux‖ ≤ tol·‖aux‖ (a
+    lax.while_loop — one extra (B,) reduction per iteration); with
+    ``tol == 0`` the trip count is jit-static (lax.fori_loop).  Each
+    iteration is one bandwidth-bound (B,R,R)·(B,R) matvec — 5x faster
+    than the batched Cholesky at B=512/R=400 (14.7 vs 72.7 ms measured
+    on-chip, PERF.md §2).  Padding rows (n=0) give L=I, aux=0 → x=0
+    exactly (and rel=0, so they never hold the exit back)."""
     r = model.rank
     b, k = n_blk.shape
     eye = jnp.eye(r, dtype=n_blk.dtype)
@@ -292,9 +296,9 @@ def _posterior_mean_pcg(n_blk, fbar_blk, model: TvModel, tett, tn_flat,
     z = m_inv(res)
     p = z
     rz = jnp.sum(res * z, axis=1, keepdims=True)
+    aux_nrm = jnp.maximum(jnp.linalg.norm(aux, axis=1), 1e-30)
 
-    def body(_, st):
-        x, res, p, rz = st
+    def step(x, res, p, rz):
         ap = jnp.einsum("brq,bq->br", l_mat, p,
                         preferred_element_type=jnp.float32)
         alpha = rz / jnp.maximum(jnp.sum(p * ap, axis=1, keepdims=True),
@@ -306,7 +310,21 @@ def _posterior_mean_pcg(n_blk, fbar_blk, model: TvModel, tett, tn_flat,
         p = z + (rz2 / jnp.maximum(rz, 1e-30)) * p
         return x, res, p, rz2
 
-    x, res, p, rz = jax.lax.fori_loop(0, iters, body, (x, res, p, rz))
+    if tol > 0.0:
+        def w_cond(st):
+            i, x, res, p, rz = st
+            rel_max = jnp.max(jnp.linalg.norm(res, axis=1) / aux_nrm)
+            return jnp.logical_and(i < iters, rel_max > tol)
+
+        def w_body(st):
+            i, x, res, p, rz = st
+            return (i + 1,) + step(x, res, p, rz)
+
+        _, x, res, p, rz = jax.lax.while_loop(
+            w_cond, w_body, (jnp.zeros((), jnp.int32), x, res, p, rz))
+    else:
+        x, res, p, rz = jax.lax.fori_loop(
+            0, iters, lambda _, st: step(*st), (x, res, p, rz))
     # per-utterance relative residual ‖L·x − aux‖/‖aux‖ — cheap (the
     # final res is already live) and the convergence diagnostic for
     # stats outside the validated envelope (see estimate_w docstring)
@@ -316,9 +334,11 @@ def _posterior_mean_pcg(n_blk, fbar_blk, model: TvModel, tett, tn_flat,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "solver",
-                                             "pcg_iters", "return_diag"))
+                                             "pcg_iters", "pcg_tol",
+                                             "return_diag"))
 def estimate_w(stats: BwStats, model: TvModel, chunk: int = 256,
                solver: str = "pcg", pcg_iters: int = 16,
+               pcg_tol: float = 1e-7,
                return_diag: bool = False) -> jax.Array:
     """Exact i-vector extraction: w = L⁻¹ T Σ⁻¹ F̄ per utterance
     (reference estimateW, cpp:2103-2267).  ``chunk`` bounds the live
@@ -342,7 +362,15 @@ def estimate_w(stats: BwStats, model: TvModel, chunk: int = 256,
     For stats outside this envelope pass ``return_diag=True`` to get
     the per-utterance relative residual ‖L·w − aux‖/‖aux‖ — values ≫
     f32 roundoff mean raise ``pcg_iters`` (config key
-    ``ivSolverPcgIterations``) or use solver="cholesky"."""
+    ``ivSolverPcgIterations``) or use solver="cholesky".
+
+    ``pcg_tol`` (default 1e-7, config key ``ivSolverPcgTolerance``)
+    exits the CG loop early once every utterance in a chunk reaches
+    that relative residual — benign envelopes converge in ~8-10
+    iterations, so this saves roughly half the matvec passes with a
+    result within tol (≪ every test tolerance) of the fixed-count
+    path; ``pcg_tol=0`` restores the jit-static fixed-``pcg_iters``
+    loop."""
     s, k = stats.n.shape
     d = model.dim
     tett = estimate_tett(model)
@@ -357,7 +385,7 @@ def estimate_w(stats: BwStats, model: TvModel, chunk: int = 256,
         def block(blk):
             n_blk, f_blk = blk
             return _posterior_mean_pcg(n_blk, f_blk, model, tett, tn_flat,
-                                       q, dk, pcg_iters)
+                                       q, dk, pcg_iters, pcg_tol)
     elif solver == "cholesky":
         def block(blk):
             n_blk, f_blk = blk

@@ -347,7 +347,8 @@ def sharded_plda_llr(mesh: Mesh, model, enroll: jax.Array,
 
 
 def sharded_estimate_w(mesh: Mesh, stats, model, chunk: int = 64,
-                       solver: str = "pcg", pcg_iters: int = 16):
+                       solver: str = "pcg", pcg_iters: int = 16,
+                       pcg_tol: float = 1e-7):
     """i-vector extraction with the utterance axis sharded over "data".
 
     Extraction is embarrassingly parallel (estimateW[Un]Threaded,
@@ -357,7 +358,10 @@ def sharded_estimate_w(mesh: Mesh, stats, model, chunk: int = 64,
     GLOBAL occupancy mean, computed on the replicated stats BEFORE the
     shard_map) enter every shard replicated — the basis and hence every
     iterate is identical to the serial path, so sharded == serial to
-    reduction-order noise.
+    reduction-order noise.  (With ``pcg_tol > 0`` the early-exit
+    iteration COUNT is decided per local chunk, so shard and serial
+    chunks may stop at different iterations — both within pcg_tol of
+    the exact solve, which is far inside the parity tolerances.)
 
     Returns w (S, R) sharded over "data" (gathered on exit).
     """
@@ -392,7 +396,7 @@ def sharded_estimate_w(mesh: Mesh, stats, model, chunk: int = 64,
             n_blk, f_blk = blk
             if solver == "pcg":
                 w_blk, _ = _posterior_mean_pcg(n_blk, f_blk, mdl, tt, tn,
-                                               qq, dd, pcg_iters)
+                                               qq, dd, pcg_iters, pcg_tol)
                 return w_blk
             return _posterior_mean(n_blk, f_blk, mdl, tt, tn)
 

@@ -51,7 +51,8 @@ def main(cfg: Config) -> dict[str, np.ndarray]:
         w = estimate_w(stats, model,
                        chunk=cfg.get_int("speakerChunk", 256),
                        solver=cfg.get_str("ivSolver", "pcg"),
-                       pcg_iters=cfg.get_int("ivSolverPcgIterations", 16))
+                       pcg_iters=cfg.get_int("ivSolverPcgIterations", 16),
+                       pcg_tol=cfg.get_float("ivSolverPcgTolerance", 1e-7))
     elif mode == "ubmWeight":
         # On CPU the reference uses this to dodge per-utterance L-inversion
         # (IvExtractor.cpp:151); on TPU the exact batched-Cholesky path is

@@ -43,15 +43,19 @@ for tag, n_st in cases.items():
     stats = BwStats(n=n_st, f=f_st)
     w_chol = np.asarray(estimate_w(stats, model, solver="cholesky"))
     scale = np.max(np.abs(w_chol))
-    for iters in (6, 8, 10, 12, 16, 20):
+    cfgs = ((6, 0.0), (8, 0.0), (10, 0.0), (12, 0.0), (16, 0.0), (20, 0.0),
+            (16, 1e-6), (16, 1e-7), (16, 1e-8))
+    if os.environ.get("SWEEP_PCG_FAST"):      # early-exit A/B only
+        cfgs = ((16, 0.0), (16, 1e-7), (16, 1e-6))
+    for iters, tol in cfgs:
         w_p, rel = estimate_w(stats, model, solver="pcg", pcg_iters=iters,
-                              return_diag=True)
+                              pcg_tol=tol, return_diag=True)
         dev = float(np.max(np.abs(np.asarray(w_p) - w_chol)) / scale)
         res = float(np.max(np.asarray(rel)))
         # timed: chained fresh-input passes like bench.py
-        fn = jax.jit(lambda st, e, it=iters: estimate_w(
+        fn = jax.jit(lambda st, e, it=iters, tl=tol: estimate_w(
             BwStats(n=st.n * (1.0 + e), f=st.f), model, solver="pcg",
-            pcg_iters=it))
+            pcg_iters=it, pcg_tol=tl))
         w = fn(stats, jnp.zeros((), jnp.float32))
         float(w[0, 0])
         t0 = time.perf_counter()
@@ -59,5 +63,6 @@ for tag, n_st in cases.items():
             w = fn(stats, w[0, 0] * 1e-9)
         float(w[0, 0])
         dt = (time.perf_counter() - t0) / 3
-        print(f"{tag:24s} iters={iters:2d}  dev-vs-chol {dev:.2e}  "
-              f"resid {res:.2e}  wall {dt*1000:7.1f} ms", flush=True)
+        print(f"{tag:24s} iters={iters:2d} tol={tol:.0e}  "
+              f"dev-vs-chol {dev:.2e}  resid {res:.2e}  "
+              f"wall {dt*1000:7.1f} ms", flush=True)

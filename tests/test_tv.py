@@ -252,3 +252,8 @@ def test_estimate_w_pcg_equals_cholesky(rng):
     np.testing.assert_allclose(np.asarray(w_d), w_pcg, rtol=0, atol=0)
     assert rel.shape == (stats.n.shape[0],)
     assert float(np.max(np.asarray(rel))) < 1e-5
+    # residual-based early exit (pcg_tol, the default) vs the
+    # jit-static fixed-count loop (pcg_tol=0): both exact to tol
+    w_fix = np.asarray(estimate_w(stats, model, chunk=8, solver="pcg",
+                                  pcg_tol=0.0))
+    np.testing.assert_allclose(w_pcg, w_fix, rtol=2e-5, atol=2e-6)
