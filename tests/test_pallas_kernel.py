@@ -181,7 +181,14 @@ def test_bw_stats_fused_default_block_paths(rng):
         mask = jnp.asarray(rng.random((3, t)) > 0.3, jnp.float32)
         n, f, _ = bw_stats_fused(x, mask, gmm, interpret=True)
         ref = bw_stats_batch(x, mask, gmm, use_fused=False)
+        # cross-path budget (same as test_bw_stats_fused_matches_batch):
+        # interpret-mode dots on the TPU backend run at bf16-pass grade,
+        # and first-order sums have cancellation-prone near-zero entries
+        # — so the absolute budget is relative to the ARRAY scale
+        f_scale = max(float(np.max(np.abs(np.asarray(ref.f)))), 1.0)
         np.testing.assert_allclose(np.asarray(n), np.asarray(ref.n),
-                                   rtol=1e-4, atol=1e-4)
+                                   rtol=_tol(1e-4, 1e-2),
+                                   atol=_tol(1e-4, 1e-2))
         np.testing.assert_allclose(np.asarray(f), np.asarray(ref.f),
-                                   rtol=1e-3, atol=1e-3)
+                                   rtol=_tol(1e-3, 1e-2),
+                                   atol=_tol(1e-3, 1e-2) * f_scale)
